@@ -1,0 +1,104 @@
+"""Modality (CT vs MRI) style discriminators.
+
+Reference: unet3D.py:1814-1956. Strided Conv3d + LeakyReLU(0.2) pyramids over
+(organ probability, atlas) channel pairs; the "deep" variant additionally
+ingests the three multi-scale attention maps through 3x3x3 "min" blocks.
+All convs use torch-default init and explicit padding 1 with kernel 4 so the
+stride-2 geometry matches the reference voxel-for-voxel.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from multimodal_pl_tpu.models.blocks import WSConv3d, torch_init
+from multimodal_pl_tpu.models.unet3d import _Linear
+
+
+def _lrelu(x):
+    return nn.leaky_relu(x, negative_slope=0.2)
+
+
+def _conv(features, kernel=4, stride=2, padding=1, name=None):
+    return WSConv3d(
+        features,
+        kernel=(kernel,) * 3,
+        stride=stride,
+        padding=padding,
+        use_bias=True,
+        weight_std=False,
+        name=name,
+    )
+
+
+class NormStyleDiscriminator(nn.Module):
+    """norm_style_discriminator_output (unet3D.py:1907-1947): plain pyramid ->
+    global average pool -> Linear(ndf*8, 2)."""
+
+    ndf: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        x = _lrelu(_conv(self.ndf, name="block1")(x))
+        x = _lrelu(_conv(self.ndf * 2, name="block2")(x))
+        x = _lrelu(_conv(self.ndf * 4, name="block3")(x))
+        x = _lrelu(_conv(self.ndf * 8, name="block4a")(x))
+        x = _lrelu(_conv(self.ndf * 8, name="block4b")(x))
+        x = _lrelu(_conv(self.ndf * 8, name="block4c")(x))
+        x = jnp.mean(x, axis=(1, 2, 3))
+        return _Linear(2, name="head")(x)
+
+
+class DeepStyleDiscriminator(nn.Module):
+    """deep_style_discriminator_output (unet3D.py:1852-1905): the pyramid also
+    consumes the three per-scale attention maps via 3x3x3 min-blocks."""
+
+    ndf: int = 32
+
+    @nn.compact
+    def __call__(self, x, attn_maps):
+        # attn_maps: [scale8 (B,8d,...), scale4, scale2] per-organ single-channel maps
+        ndf = self.ndf
+        x = _lrelu(_conv(ndf, name="block1")(x))
+        xm1 = _lrelu(_conv(ndf, kernel=3, stride=1, padding=1, name="min_block1")(attn_maps[2]))
+        x = _lrelu(_conv(ndf * 2, name="block2")(jnp.concatenate([x, xm1], -1)))
+        xm2 = _lrelu(_conv(ndf * 2, kernel=3, stride=1, padding=1, name="min_block2")(attn_maps[1]))
+        x = _lrelu(_conv(ndf * 4, name="block3")(jnp.concatenate([x, xm2], -1)))
+        xm3 = _lrelu(_conv(ndf * 4, kernel=3, stride=1, padding=1, name="min_block3")(attn_maps[0]))
+        x = jnp.concatenate([x, xm3], -1)
+        x = _lrelu(_conv(ndf * 8, name="block4a")(x))
+        x = _lrelu(_conv(ndf * 8, name="block4b")(x))
+        x = _lrelu(_conv(ndf * 8, name="block4c")(x))
+        x = jnp.mean(x, axis=(1, 2, 3))
+        return _Linear(2, name="head")(x)
+
+
+class StyleDiscriminatorOutput(nn.Module):
+    """get_style_discriminator_output (unet3D.py:1832-1849): 1-logit variant."""
+
+    ndf: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        x = _lrelu(_conv(self.ndf, name="block1")(x))
+        x = _lrelu(_conv(self.ndf * 2, name="block2")(x))
+        x = _lrelu(_conv(self.ndf * 4, name="block3")(x))
+        x = _lrelu(_conv(self.ndf * 8, name="block4a")(x))
+        x = _lrelu(_conv(self.ndf * 8, name="block4b")(x))
+        x = _lrelu(_conv(self.ndf * 8, name="block4c")(x))
+        x = jnp.mean(x, axis=(1, 2, 3))
+        return _Linear(1, name="head")(x)
+
+
+class StyleDiscriminatorLinear(nn.Module):
+    """get_style_discriminator_linear (unet3D.py:1950-1956)."""
+
+    ndf: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        x = _lrelu(_Linear(self.ndf, name="fc1")(x))
+        x = _lrelu(_Linear(self.ndf * 2, name="fc2")(x))
+        return _Linear(1, name="fc3")(x)

@@ -1,0 +1,58 @@
+"""Lightweight refiner U-Net (reference unet3D_g, unet3D.py:1507-1623).
+
+Turns (per-organ probability, atlas channel) pairs into binary pseudo-labels.
+Runs at half resolution: a stride-2 stem conv (conv0 :1514) and a final x2
+trilinear upsample of the logits (:1621). GroupNorm groups are 4 in the
+residual stages (:1550, :1559), init_filter//2 in the fusion head (:1525) and
+init_filter//4 in the classifier head (:1540).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+
+from multimodal_pl_tpu.models.blocks import GNReLUConv, ResStage, WSConv3d
+from multimodal_pl_tpu.ops.resize import upsample_trilinear
+
+
+class RefinerUNet3D(nn.Module):
+    layers: Sequence[int] = (1, 1, 1, 1, 1)
+    num_classes: int = 2
+    weight_std: bool = True
+    init_filter: int = 24
+    in_channel: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        f = self.init_filter
+        ws = self.weight_std
+
+        x = WSConv3d(f, stride=2, padding=1, weight_std=ws, name="conv0")(x)
+        x = WSConv3d(f, stride=1, padding=1, weight_std=ws, name="conv1")(x)
+
+        x = ResStage(f, self.layers[0], stride=1, group=4, weight_std=ws, name="layer0")(x)
+        skip0 = x
+        x = ResStage(f * 2, self.layers[1], stride=2, group=4, weight_std=ws, name="layer1")(x)
+        skip1 = x
+        x = ResStage(f * 4, self.layers[2], stride=2, group=4, weight_std=ws, name="layer2")(x)
+        skip2 = x
+        x = ResStage(f * 8, self.layers[3], stride=2, group=4, weight_std=ws, name="layer3")(x)
+        skip3 = x
+        x = ResStage(f * 8, self.layers[4], stride=2, group=4, weight_std=ws, name="layer4")(x)
+
+        x = GNReLUConv(f * 8, num_groups=f // 2, weight_std=ws, use_bias=False, name="fusion")(x)
+
+        x = upsample_trilinear(x, 2) + skip3
+        x = ResStage(f * 4, 1, stride=1, group=4, weight_std=ws, name="x8_resb")(x)
+        x = upsample_trilinear(x, 2) + skip2
+        x = ResStage(f * 2, 1, stride=1, group=4, weight_std=ws, name="x4_resb")(x)
+        x = upsample_trilinear(x, 2) + skip1
+        x = ResStage(f, 1, stride=1, group=4, weight_std=ws, name="x2_resb")(x)
+        x = upsample_trilinear(x, 2) + skip0
+        x = ResStage(f, 1, stride=1, group=4, weight_std=ws, name="x1_resb")(x)
+
+        logits = GNReLUConv(self.num_classes, num_groups=f // 4, name="precls")(x)
+        return upsample_trilinear(logits, 2)
