@@ -1,0 +1,92 @@
+"""Benchmark: sliding-window full-volume inference, volumes/sec/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The headline config is BASELINE.json config 2 — full-volume sliding-window
+inference with Gaussian blending on an AMOS-preprocessed-sized CT volume
+(128 x 256 x 256, tile 64 x 192 x 192 => 12 windows) through the flagship
+FEAM segmenter. ``vs_baseline`` is the speedup over the reference-style
+implementation measured on the SAME chip: a Python per-tile loop with
+host<->device transfers and host-side Gaussian accumulate
+(evaluate_amos.py:211-279), which is what the reference's GPU numbers were
+produced with. (The reference publishes no absolute GPU throughput —
+BASELINE.md — so the like-for-like loop on identical hardware is the
+baseline.)
+
+NOTE (axon platform): block_until_ready() can return before execution
+completes, so every timed section forces a device->host scalar sync.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _sync(x):
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_pl_tpu.infer.sliding import (
+        SlidingWindowPredictor,
+        make_window_grid,
+        predict_sliding_naive,
+    )
+    from multimodal_pl_tpu.models import UNet3DFEAM, init_class_tokens
+
+    VOL = (128, 256, 256)
+    TILE = (64, 192, 192)
+    NC = 14
+    REPS = 5
+
+    model = UNet3DFEAM(num_classes=NC, weight_std=True, deep_up=True)
+    tokens = init_class_tokens(jax.random.PRNGKey(1), NC)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 16, 32, 32, 1)), tokens)
+    fwd = lambda tiles: model.apply(params, tiles, tokens)[0]
+
+    rng = np.random.default_rng(0)
+    vol = rng.standard_normal(VOL).astype(np.float32)
+    n_windows = len(make_window_grid(VOL, TILE))
+
+    # ---- batched XLA scan path ----
+    predictor = SlidingWindowPredictor(fwd, TILE, NC, window_batch=4)
+    _sync(predictor(vol))  # compile
+    t0 = time.time()
+    for _ in range(REPS):
+        _sync(predictor(vol))
+    fast_dt = (time.time() - t0) / REPS
+    fast_vps = 1.0 / fast_dt
+
+    # ---- reference-style per-tile Python loop on the same chip ----
+    tile_fwd = jax.jit(fwd)
+    _sync(tile_fwd(jnp.zeros((1, *TILE, 1))))  # compile
+    apply_naive = lambda t: np.asarray(tile_fwd(jnp.asarray(t)))
+    t0 = time.time()
+    predict_sliding_naive(apply_naive, vol, TILE, NC)
+    naive_dt = time.time() - t0
+    naive_vps = 1.0 / naive_dt
+
+    result = {
+        "metric": "sliding-window inference volumes/sec/chip "
+                  f"({VOL[0]}x{VOL[1]}x{VOL[2]} vol, {TILE[0]}x{TILE[1]}x{TILE[2]} tile, "
+                  f"{n_windows} windows, FEAM-14)",
+        "value": round(fast_vps, 4),
+        "unit": "volumes/sec/chip",
+        "vs_baseline": round(fast_vps / naive_vps, 3),
+    }
+    print(json.dumps(result))
+    print(f"# batched scan: {fast_dt:.3f}s/vol | reference-style loop on same chip: "
+          f"{naive_dt:.3f}s/vol | speedup {fast_vps / naive_vps:.2f}x", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""Evaluation CLI — flag-compatible with the reference evaluate_amos.py.
+
+Full-volume sliding-window prediction over the test split with per-case CSV,
+per-organ CT/MRI dice/sensitivity/specificity tables, and optional NIfTI
+prediction dumps (reference evaluate_amos.py:316-542, 548-631).
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+
+import numpy as np
+
+from multimodal_pl_tpu.cli.train import str2bool
+
+
+def get_arguments() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="multimodal_pl_tpu evaluator")
+    # reference-compatible flags (evaluate_amos.py:54-88)
+    p.add_argument("--data_dir", type=str, default="data/imagesTr")
+    p.add_argument("--val_list", type=str, default="")
+    p.add_argument("--reload_path", type=str, default="")
+    p.add_argument("--reload_from_checkpoint", type=str2bool, default=True)
+    p.add_argument("--save_path", type=str, default="outputs/")
+    p.add_argument("--input_size", type=str, default="64,192,192")
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--num_gpus", type=int, default=1)
+    p.add_argument("--local_rank", type=int, default=0)
+    p.add_argument("--FP16", type=str2bool, default=False)
+    p.add_argument("--num_classes", type=int, default=14)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--weight_std", type=str2bool, default=True)
+    p.add_argument("--print", dest="print_preds", type=str2bool, default=False)
+    p.add_argument("--dataset_type", type=str, default="default")
+    p.add_argument("--usage", type=str, default="test", choices=["test", "valid", "train"])
+    # TPU-native additions
+    p.add_argument("--atlas_path", type=str, default="atlas_mm.npy")
+    p.add_argument("--tta", type=str2bool, default=False, help="8-way flip TTA")
+    p.add_argument("--window_batch", type=int, default=4)
+    p.add_argument("--use_atlas_threshold", type=str2bool, default=False,
+                   help="atlas-blended decision rule (evaluate_amos.py:146)")
+    p.add_argument("--deep_up", type=str2bool, default=True)
+    return p
+
+
+def main(argv=None):
+    args = get_arguments().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_pl_tpu.data.dataset import AMOSDataset
+    from multimodal_pl_tpu.data.nifti import write_nifti
+    from multimodal_pl_tpu.infer.metrics import organ_scores, organ_scores_atlas
+    from multimodal_pl_tpu.infer.sliding import SlidingWindowPredictor
+    from multimodal_pl_tpu.models import UNet3DFEAM
+    from multimodal_pl_tpu.train import StepConfig, create_train_state
+    from multimodal_pl_tpu.train.checkpoint import latest_checkpoint, restore_checkpoint
+
+    d, h, w = map(int, args.input_size.split(","))
+    nfg = args.num_classes - 1
+
+    scfg = StepConfig(num_classes=args.num_classes, deep_up=args.deep_up)
+    state = create_train_state(jax.random.PRNGKey(1234), scfg)
+    if args.reload_from_checkpoint:
+        path = args.reload_path or latest_checkpoint(os.path.dirname(args.reload_path) or ".")
+        if path and os.path.exists(path):
+            print(f"loading from checkpoint: {path}")
+            state = restore_checkpoint(path, state)
+        else:
+            print(f"File not exists in the reload path: {args.reload_path}")
+
+    model = UNet3DFEAM(num_classes=args.num_classes, weight_std=args.weight_std,
+                       deep_up=args.deep_up)
+    fwd = lambda tiles: model.apply(state.params, tiles, state.tokens)[0]
+    predictor = SlidingWindowPredictor(fwd, (d, h, w), args.num_classes,
+                                       window_batch=args.window_batch, tta=args.tta)
+
+    atlas = np.load(args.atlas_path) if os.path.exists(args.atlas_path) else None
+    ds = AMOSDataset(args.data_dir, crop_size=(d, h, w), usage=args.usage, atlas=atlas)
+    print(f"{len(ds)} {args.usage} cases")
+
+    os.makedirs(args.save_path, exist_ok=True)
+    csv_path = os.path.join(args.save_path, "per_case_dice.csv")
+    ct_dice = np.zeros(nfg); ct_n = 0
+    mri_dice = np.zeros(nfg); mri_n = 0
+    ct_senc = np.zeros(nfg); mri_senc = np.zeros(nfg)
+    ct_spec = np.zeros(nfg); mri_spec = np.zeros(nfg)
+
+    with open(csv_path, "w", newline="") as f:
+        writer = csv.writer(f)
+        writer.writerow(["case"] + [f"organ{i}" for i in range(nfg)])
+        for i in range(len(ds)):
+            s = ds[i]
+            logits = predictor(s.image[..., 0])
+            if args.use_atlas_threshold and atlas is not None:
+                catlas_dhw1 = jnp.moveaxis(jnp.asarray(s.catlas), 0, -1)[None]
+                dice, senc, spec = organ_scores_atlas(
+                    logits[None], jnp.asarray(s.label)[None], catlas_dhw1, nfg)
+                pred = np.asarray(jnp.argmax(logits, -1))
+            else:
+                dice, senc, spec, pred = organ_scores(
+                    logits[None], jnp.asarray(s.label)[None], nfg)
+                pred = np.asarray(pred)[0]
+            dice, senc, spec = np.asarray(dice), np.asarray(senc), np.asarray(spec)
+            writer.writerow([s.name] + [f"{x:.4f}" for x in dice])
+            print(f"{s.name}: mean dice {dice.mean():.4f}")
+            if s.case_id < 507:   # CT/MRI bucket threshold (evaluate_amos.py:374)
+                ct_dice += dice; ct_senc += senc; ct_spec += spec; ct_n += 1
+            else:
+                mri_dice += dice; mri_senc += senc; mri_spec += spec; mri_n += 1
+            if args.print_preds:
+                write_nifti(os.path.join(args.save_path, f"{s.name}_pred.nii.gz"),
+                            pred.astype(np.uint8), (1, 1, 2))
+
+    for name, tot, cnt in [("CT", ct_dice, ct_n), ("MRI", mri_dice, mri_n)]:
+        mean = tot / max(cnt, 1)
+        print(f"Sum results {name}")
+        for t in range(nfg):
+            print(f"Sum: Task{t}- Organ:{mean[t]:.4f}")
+        print("mean_result", float(mean.mean()))
+    print(f"per-case CSV: {csv_path}")
+
+
+if __name__ == "__main__":
+    main()

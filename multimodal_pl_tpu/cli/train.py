@@ -1,0 +1,150 @@
+"""Training CLI — flag-compatible with the reference driver.
+
+Reference: train_amos_atlas_final.py:51-90 get_arguments. Every reference flag
+is accepted (torch-only ones like --FP16/--num_gpus/--local_rank are mapped to
+their TPU-world equivalents or ignored with a note) so
+run_amos_atlas_final.sh maps 1:1 onto this entry point.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def str2bool(v: str) -> bool:
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+def get_arguments() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="multimodal_pl_tpu trainer (unet3D FEAM)")
+    # --- reference-compatible flags (train_amos_atlas_final.py:51-90) ---
+    p.add_argument("--data_dir", type=str, required=False, default="data/imagesTr")
+    p.add_argument("--train_list", type=str, default="")      # accepted for parity; split is seeded
+    p.add_argument("--val_list", type=str, default="")
+    p.add_argument("--snapshot_dir", type=str, default="snapshots/fold1/")
+    p.add_argument("--reload_path", type=str, default="")
+    p.add_argument("--reload_from_checkpoint", type=str2bool, default=False)
+    p.add_argument("--input_size", type=str, default="64,192,192")
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--num_gpus", type=int, default=1)          # parity: device count is auto
+    p.add_argument("--local_rank", type=int, default=0)
+    p.add_argument("--FP16", type=str2bool, default=False)     # parity: use --bf16 on TPU
+    p.add_argument("--num_epochs", type=int, default=500)
+    p.add_argument("--itrs_each_epoch", type=int, default=250)
+    p.add_argument("--patience", type=int, default=3)
+    p.add_argument("--start_epoch", type=int, default=0)
+    p.add_argument("--val_pred_every", type=int, default=50)
+    p.add_argument("--learning_rate", type=float, default=5e-4)
+    p.add_argument("--num_classes", type=int, default=14)
+    p.add_argument("--num_workers", type=int, default=1)
+    p.add_argument("--weight_std", type=str2bool, default=True)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--power", type=float, default=0.9)
+    p.add_argument("--weight_gan", type=float, default=1e-3)
+    p.add_argument("--weight_decay", type=float, default=1e-4)
+    p.add_argument("--ignore_label", type=int, default=255)
+    p.add_argument("--is_training", action="store_true")
+    p.add_argument("--random_mirror", type=str2bool, default=True)
+    p.add_argument("--random_scale", type=str2bool, default=True)
+    p.add_argument("--deep_up", type=str2bool, default=True)
+    p.add_argument("--random_seed", type=int, default=1234)
+    p.add_argument("--gpu", type=str, default="None")
+    p.add_argument("--disweight", type=float, default=0)
+    p.add_argument("--augmask", type=int, default=2)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pretrain_epoch", type=int, default=20)
+    # --- TPU-native additions ---
+    p.add_argument("--atlas_path", type=str, default="atlas_mm.npy")
+    p.add_argument("--supervision_csv", type=str, default="supervise_mask.csv")
+    p.add_argument("--bf16", type=str2bool, default=False,
+                   help="bfloat16 compute policy for the model forward/backward")
+    p.add_argument("--mesh", type=str, default="",
+                   help="data-parallel mesh spec, e.g. 'data:8' (empty = single device)")
+    return p
+
+
+def main(argv=None):
+    args = get_arguments().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_pl_tpu.data.dataset import AMOSDataset
+    from multimodal_pl_tpu.models import (
+        DeepStyleDiscriminator,
+        NormStyleDiscriminator,
+        RefinerUNet3D,
+        UNet3DFEAM,
+    )
+    from multimodal_pl_tpu.train import StepConfig, create_train_state, make_train_step
+    from multimodal_pl_tpu.train.checkpoint import latest_checkpoint, restore_checkpoint
+    from multimodal_pl_tpu.train.loop import LoopConfig, train_loop
+    from multimodal_pl_tpu.utils.prng import seedfix
+
+    d, h, w = map(int, args.input_size.split(","))
+    rng = seedfix(args.seed)
+
+    scfg = StepConfig(
+        num_classes=args.num_classes,
+        num_epochs=args.num_epochs,
+        deep_up=args.deep_up,
+        augmask=args.augmask,
+        weight_gan=args.weight_gan,
+        momentum=args.momentum,
+        weight_decay=args.weight_decay,
+        pretrain_epoch=args.pretrain_epoch,
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+    state = create_train_state(rng, scfg)
+    if args.reload_from_checkpoint:
+        path = args.reload_path or latest_checkpoint(args.snapshot_dir)
+        if path and os.path.exists(path):
+            print(f"loading from checkpoint: {path}")
+            state = restore_checkpoint(path, state)
+        else:
+            print(f"File not exists in the reload path: {args.reload_path}")
+
+    model = UNet3DFEAM(num_classes=args.num_classes, weight_std=args.weight_std,
+                       deep_up=args.deep_up)
+    refiner = RefinerUNet3D(num_classes=2, weight_std=args.weight_std,
+                            init_filter=24, in_channel=2)
+    disc = NormStyleDiscriminator() if args.deep_up else DeepStyleDiscriminator()
+
+    atlas = np.load(args.atlas_path) if os.path.exists(args.atlas_path) else None
+    sup_csv = args.supervision_csv if os.path.exists(args.supervision_csv) else None
+    train_ds = AMOSDataset(args.data_dir, crop_size=(d, h, w), usage="train",
+                           atlas=atlas, supervision_csv=sup_csv, seed=args.seed)
+    valid_ds = AMOSDataset(args.data_dir, crop_size=(d, h, w), usage="valid",
+                           atlas=atlas, supervision_csv=sup_csv)
+    print(f"{len(train_ds)} train / {len(valid_ds)} valid cases")
+
+    if args.mesh:
+        from multimodal_pl_tpu.parallel.sharded_step import make_sharded_train_step
+
+        step_fn = make_sharded_train_step(model, refiner, disc, scfg, args.mesh)
+    else:
+        step_fn = make_train_step(model, refiner, disc, scfg)
+
+    lcfg = LoopConfig(
+        num_epochs=args.num_epochs,
+        batch_size=args.batch_size,
+        learning_rate=args.learning_rate,
+        power=args.power,
+        val_every=args.val_pred_every,
+        snapshot_dir=args.snapshot_dir,
+        start_epoch=args.start_epoch,
+        tile=(d, h, w),
+        num_classes=args.num_classes,
+    )
+    train_loop(state, step_fn, model, train_ds, valid_ds, scfg, lcfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Supervision-mask semantics for partial labeling.
+
+The reference's mask plumbing is internally inconsistent (generator emits a
+15-slot organ-only row, the trainer indexes it as label-indexed with
+[0]=background, csv keys/headers don't match the lookups — SURVEY.md §2.2).
+This module fixes the convention by spec:
+
+  * A supervision mask is a ``num_classes``(=14)-vector indexed by LABEL,
+    mask[0] == 1 (background always supervised), mask[l] == 1 iff organ
+    label l is annotated for that case.
+  * CSV rows are ``case_id,bitstring`` keyed by the bare case id
+    (e.g. ``amos_0001``), no header ambiguity: a header row is written and
+    skipped on read.
+
+Case-id semantics follow the reference throughout: id < 500 ⇒ CT,
+id >= 500 ⇒ MRI (MOTSDataset.py:171-186, train:223-226); the per-case
+single supervised organ for CT follows the id-range table of
+preprocess/atlas_gen_mm.py:33-54 mapped into label space.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+from typing import Dict, List
+
+import numpy as np
+
+NUM_CLASSES = 14
+
+# modality-style flags per organ index 0..12 (labels 1..13), train:223-226
+LABEL_T_MRI = np.array([1, 1, 1, 1, 0, 0, 0, 0, 0, 1, 0, 0, 0], np.float32)
+LABEL_T_CT = np.array([0, 0, 0, 0, 1, 1, 1, 1, 1, 0, 1, 1, 1], np.float32)
+
+# CT case-id upper bound -> supervised organ label (atlas_gen_mm.py:33-54,
+# re-based into 1..13 label space: the generator's slots 4..14 minus the
+# off-by-one means labels 3..13; clamp to the 13 AMOS organs)
+_CT_RANGES = [
+    (45, 3), (85, 4), (135, 5), (180, 6), (242, 7), (300, 8),
+    (370, 9), (440, 10), (460, 11), (480, 12), (500, 13),
+]
+
+
+def modality_of(case_id: int) -> str:
+    return "mri" if int(case_id) >= 500 else "ct"
+
+
+def label_t_of(case_id: int) -> np.ndarray:
+    return LABEL_T_MRI.copy() if int(case_id) >= 500 else LABEL_T_CT.copy()
+
+
+def supervision_mask_for_case(case_id: int) -> np.ndarray:
+    """(14,) 0/1 mask; CT cases get exactly one supervised organ by id range,
+    MRI cases get none (all-zero organs)."""
+    mask = np.zeros(NUM_CLASSES, np.float32)
+    mask[0] = 1.0
+    cid = int(case_id)
+    if cid >= 500:
+        return mask
+    for hi, label in _CT_RANGES:
+        if cid <= hi:
+            mask[label] = 1.0
+            break
+    return mask
+
+
+def supervision_mask_from_label(label_volume: np.ndarray) -> np.ndarray:
+    """Alternative generator (reference setup.py's create_supervise_mask
+    recovered behavior): mark every organ present in the label volume."""
+    mask = np.zeros(NUM_CLASSES, np.float32)
+    mask[0] = 1.0
+    for l in np.unique(label_volume):
+        if 1 <= int(l) < NUM_CLASSES:
+            mask[int(l)] = 1.0
+    return mask
+
+
+def generate_supervision_csv(case_ids, out_path: str) -> None:
+    """supervise_mask.csv writer (atlas_gen_mm.py:59-71, fixed key format)."""
+    with open(out_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["name", "mask"])
+        for cid in case_ids:
+            mask = supervision_mask_for_case(cid)
+            w.writerow([f"amos_{int(cid):04d}", "".join(str(int(b)) for b in mask)])
+
+
+def load_supervision_csv(path: str) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    with open(path, newline="") as f:
+        for i, row in enumerate(csv.reader(f)):
+            if i == 0 and row and row[0] == "name":
+                continue
+            name, bits = row[0], row[1]
+            out[name] = np.array([float(b) for b in bits], np.float32)
+    return out

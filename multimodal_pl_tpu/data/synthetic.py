@@ -1,0 +1,79 @@
+"""Synthetic AMOS-like fixture data for tests and benchmarks.
+
+Generates small CT/MRI NIfTI volumes with blob-shaped "organs" (labels 1..13),
+the directory layout the dataset expects (imagesTr/ + labelsTr/ with the
+amos_XXXX_0000 naming), a matching atlas, and a supervision csv. This stands
+in for the real AMOS data, which is not redistributable — the reference has
+no fixtures at all (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import numpy as np
+from scipy.ndimage import gaussian_filter
+
+from multimodal_pl_tpu.data.nifti import write_nifti
+from multimodal_pl_tpu.data.supervision import generate_supervision_csv
+
+
+def make_case(rng: np.random.Generator, shape=(96, 96, 80), num_fg: int = 13,
+              modality: str = "ct"):
+    """Returns (image, label) with gaussian-blob organs at stable relative
+    positions (so an atlas makes sense across cases)."""
+    D, H, W = shape
+    label = np.zeros(shape, np.uint8)
+    image = rng.normal(0, 20, shape).astype(np.float32)
+    # organ centers on a jittered grid, same relative layout each case
+    grid = [(0.3, 0.35, 0.4), (0.3, 0.65, 0.4), (0.5, 0.35, 0.5), (0.5, 0.65, 0.5),
+            (0.7, 0.5, 0.45), (0.4, 0.5, 0.6), (0.6, 0.3, 0.6), (0.6, 0.7, 0.6),
+            (0.35, 0.5, 0.3), (0.65, 0.5, 0.7), (0.45, 0.25, 0.45), (0.45, 0.75, 0.45),
+            (0.55, 0.5, 0.35)]
+    for organ in range(1, num_fg + 1):
+        cz, cy, cx = grid[organ - 1]
+        c = np.array([cz * D, cy * H, cx * W]) + rng.normal(0, 2, 3)
+        r = rng.uniform(4, 8)
+        zz, yy, xx = np.ogrid[:D, :H, :W]
+        blob = ((zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2) < r**2
+        label[blob] = organ
+        image[blob] += 150 + 20 * organ
+    if modality == "ct":
+        image += -50  # HU-ish background
+    else:
+        image = np.abs(image) * 2 + 30  # MRI-ish positive intensities
+    image = gaussian_filter(image, 1.0)
+    return image.astype(np.float32), label
+
+
+def make_synthetic_amos(root: str, n_ct: int = 4, n_mri: int = 2,
+                        shape=(96, 96, 80), seed: int = 0, num_fg: int = 13):
+    """Write imagesTr/labelsTr fixtures + atlas + supervise_mask.csv.
+
+    CT ids start at 1, MRI ids at 500 (the reference's modality threshold).
+    Returns (images_dir, atlas_path, csv_path).
+    """
+    rng = np.random.default_rng(seed)
+    img_dir = os.path.join(root, "imagesTr")
+    lab_dir = os.path.join(root, "labelsTr")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(lab_dir, exist_ok=True)
+
+    ids = list(range(1, n_ct + 1)) + list(range(500, 500 + n_mri))
+    labels_sum = np.zeros((num_fg, *shape), np.float32)
+    for cid in ids:
+        modality = "mri" if cid >= 500 else "ct"
+        img, lab = make_case(rng, shape, num_fg, modality)
+        write_nifti(os.path.join(img_dir, f"amos_{cid:04d}_0000.nii.gz"), img, (1, 1, 2))
+        write_nifti(os.path.join(lab_dir, f"amos_{cid:04d}.nii.gz"), lab, (1, 1, 2))
+        for organ in range(1, num_fg + 1):
+            labels_sum[organ - 1] += lab == organ
+
+    atlas = np.stack([gaussian_filter(labels_sum[i] / len(ids), 3) for i in range(num_fg)])
+    atlas_path = os.path.join(root, "atlas_mm.npy")
+    np.save(atlas_path, atlas.astype(np.float32))
+
+    csv_path = os.path.join(root, "supervise_mask.csv")
+    generate_supervision_csv(ids, csv_path)
+    return img_dir, atlas_path, csv_path

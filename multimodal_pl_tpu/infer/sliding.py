@@ -1,0 +1,188 @@
+"""Batched sliding-window full-volume inference with Gaussian blending.
+
+The reference's Python triple loop over tiles with per-tile host->device
+copies (evaluate_amos.py:211-279 — "HOT LOOP #2") becomes one jit'd program:
+a ``lax.scan`` over window batches that gathers tiles with ``dynamic_slice``,
+runs the network on a whole batch of tiles at once (filling the MXU), and
+scatter-adds the Gaussian-weighted logits back with ``dynamic_update_slice``.
+The volume never leaves HBM between tiles.
+
+Window geometry is bit-identical to the reference: stride = ceil(tile * 3/4),
+edge windows clamped back inside the volume (:215-239). Flip test-time
+augmentation folds the 8 flip variants into the tile batch axis (:247-255).
+
+Variable volume shapes are handled by bucketed padding: shapes round up to a
+bucket so XLA compiles one program per bucket, and padded margins are cropped
+after normalization (count-normalization makes duplicate edge windows exact
+no-ops, so bucketing never changes results).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_pl_tpu.infer.gaussian import gaussian_importance_map
+
+
+def make_window_grid(image_size: Sequence[int], tile: Sequence[int],
+                     overlap: float = 0.25) -> np.ndarray:
+    """Edge-clamped window start coordinates (reference evaluate_amos.py:215-239).
+
+    image_size: (D, H, W) volume shape; tile: (td, th, tw).
+    Returns (N, 3) int32 array of (d, h, w) starts.
+    """
+    D, H, W = image_size
+    td, th, tw = tile
+    stride_hw = math.ceil(th * (1 - overlap))
+    stride_d = math.ceil(td * (1 - overlap))
+    tiles_d = int(math.ceil((D - td) / stride_d) + 1) if D > td else 1
+    tiles_h = int(math.ceil((H - th) / stride_hw) + 1) if H > th else 1
+    tiles_w = int(math.ceil((W - tw) / stride_hw) + 1) if W > tw else 1
+    starts = []
+    for dep in range(tiles_d):
+        for row in range(tiles_h):
+            for col in range(tiles_w):
+                d2 = min(dep * stride_d + td, D)
+                h2 = min(row * stride_hw + th, H)
+                w2 = min(col * stride_hw + tw, W)
+                starts.append((max(d2 - td, 0), max(h2 - th, 0), max(w2 - tw, 0)))
+    return np.asarray(starts, np.int32)
+
+
+def pad_to_bucket(shape: Sequence[int], bucket: Sequence[int] = (32, 64, 64),
+                  tile: Sequence[int] = (64, 192, 192)) -> Tuple[int, int, int]:
+    """Round a volume shape up to bucket multiples (and at least the tile)."""
+    return tuple(
+        max(int(np.ceil(s / b)) * b, t) for s, b, t in zip(shape, bucket, tile)
+    )
+
+
+_FLIPS = [(), (1,), (2,), (3,), (1, 2), (1, 3), (2, 3), (1, 2, 3)]  # spatial axes of NDHWC
+
+
+def _tta_forward(apply_fn, tiles):
+    """8-way flip TTA folded into the batch axis (evaluate_amos.py:247-255)."""
+    b = tiles.shape[0]
+    variants = jnp.concatenate([jnp.flip(tiles, ax) if ax else tiles for ax in _FLIPS], 0)
+    logits = apply_fn(variants)
+    parts = jnp.split(logits, len(_FLIPS), axis=0)
+    out = parts[0]
+    for p, ax in zip(parts[1:], _FLIPS[1:]):
+        out = out + jnp.flip(p, ax)
+    return out / len(_FLIPS)
+
+
+class SlidingWindowPredictor:
+    """Compiled sliding-window predictor.
+
+    apply_fn: tile batch (B, td, th, tw, 1) -> logits (B, td, th, tw, C).
+    One XLA program is compiled per (padded volume shape, #window batches).
+    """
+
+    def __init__(self, apply_fn: Callable, tile: Sequence[int], num_classes: int,
+                 window_batch: int = 4, tta: bool = False,
+                 bucket: Sequence[int] = (32, 64, 64), overlap: float = 0.25,
+                 dtype=jnp.float32):
+        self.apply_fn = apply_fn
+        self.tile = tuple(tile)
+        self.num_classes = num_classes
+        self.window_batch = window_batch
+        self.tta = tta
+        self.bucket = tuple(bucket)
+        self.overlap = overlap
+        self.dtype = dtype
+        self.gaussian = jnp.asarray(gaussian_importance_map(self.tile))[..., None]
+        self._jitted = {}
+
+    def _build(self, padded_shape, n_batches):
+        tile = self.tile
+        nc = self.num_classes
+        wb = self.window_batch
+        gauss = self.gaussian.astype(self.dtype)
+
+        def gather(vol, start):
+            return jax.lax.dynamic_slice(vol, (start[0], start[1], start[2], 0),
+                                         (*tile, vol.shape[-1]))
+
+        def run(vol, starts):
+            # vol: (D, H, W, 1); starts: (n_batches, wb, 3)
+            full = jnp.zeros((*padded_shape, nc), self.dtype)
+            count = jnp.zeros((*padded_shape, 1), self.dtype)
+
+            def body(carry, batch_starts):
+                full, count = carry
+                tiles = jax.vmap(lambda s: gather(vol, s))(batch_starts)  # (wb, *tile, 1)
+                if self.tta:
+                    logits = _tta_forward(self.apply_fn, tiles)
+                else:
+                    logits = self.apply_fn(tiles)
+                logits = logits.astype(self.dtype) * gauss
+
+                def scatter(i, carry):
+                    full, count = carry
+                    s = batch_starts[i]
+                    idx = (s[0], s[1], s[2], 0)
+                    cur = jax.lax.dynamic_slice(full, idx, (*tile, nc))
+                    full = jax.lax.dynamic_update_slice(full, cur + logits[i], idx)
+                    curc = jax.lax.dynamic_slice(count, idx, (*tile, 1))
+                    count = jax.lax.dynamic_update_slice(count, curc + gauss, idx)
+                    return full, count
+
+                full, count = jax.lax.fori_loop(0, wb, scatter, (full, count))
+                return (full, count), None
+
+            (full, count), _ = jax.lax.scan(body, (full, count), starts)
+            return full / count
+
+        return jax.jit(run)
+
+    def __call__(self, image: np.ndarray) -> jax.Array:
+        """image: (D, H, W) or (D, H, W, 1) host volume. Returns blended
+        logits (D, H, W, num_classes) for the original (unpadded) shape."""
+        img = np.asarray(image)
+        if img.ndim == 3:
+            img = img[..., None]
+        orig = img.shape[:3]
+        padded = pad_to_bucket(orig, self.bucket, self.tile)
+        pad = [(0, p - s) for s, p in zip(orig, padded)] + [(0, 0)]
+        img = np.pad(img, pad)
+
+        starts = make_window_grid(padded, self.tile, self.overlap)
+        wb = self.window_batch
+        n = len(starts)
+        n_batches = int(np.ceil(n / wb))
+        if n_batches * wb > n:
+            # duplicate windows are exact no-ops after count normalization
+            starts = np.concatenate([starts, np.repeat(starts[-1:], n_batches * wb - n, 0)])
+        starts = starts.reshape(n_batches, wb, 3)
+
+        key = (padded, n_batches)
+        if key not in self._jitted:
+            self._jitted[key] = self._build(padded, n_batches)
+        out = self._jitted[key](jnp.asarray(img, self.dtype), jnp.asarray(starts))
+        return out[: orig[0], : orig[1], : orig[2]]
+
+
+def predict_sliding_naive(apply_fn, image: np.ndarray, tile, num_classes: int,
+                          overlap: float = 0.25) -> np.ndarray:
+    """Reference-shaped Python loop (evaluate_amos.py:211-279) — used as the
+    golden baseline in tests and as the slow path in bench comparisons."""
+    img = np.asarray(image)
+    if img.ndim == 3:
+        img = img[..., None]
+    D, H, W, _ = img.shape
+    gauss = gaussian_importance_map(tile)[..., None]
+    full = np.zeros((D, H, W, num_classes), np.float64)
+    count = np.zeros((D, H, W, 1), np.float64)
+    for d, h, w in make_window_grid((D, H, W), tile, overlap):
+        tile_img = img[d : d + tile[0], h : h + tile[1], w : w + tile[2]]
+        logits = np.asarray(apply_fn(tile_img[None]))[0]
+        full[d : d + tile[0], h : h + tile[1], w : w + tile[2]] += logits * gauss
+        count[d : d + tile[0], h : h + tile[1], w : w + tile[2]] += gauss
+    return full / count

@@ -78,7 +78,11 @@ class EAM(nn.Module):
 
     @nn.compact
     def __call__(self, x, tokens):
-        # x: (B, N, C) voxels; tokens: (B, Nt, C)
+        # x: (B, N, C) voxels; tokens: (B or 1, Nt, C) — a singleton token
+        # batch broadcasts over the voxel batch (torch matmul semantics of the
+        # reference's class_token.view(1, Nt, C) at unet3D.py:1134)
+        if tokens.shape[0] != x.shape[0]:
+            tokens = jnp.broadcast_to(tokens, (x.shape[0], *tokens.shape[1:]))
         scale = (self.dim // self.num_heads) ** -0.5
         norm2 = _LayerNorm(name="norm2")
         xn = norm2(x)
@@ -107,6 +111,8 @@ class EAMBK(nn.Module):
 
     @nn.compact
     def __call__(self, x, tokens):
+        if tokens.shape[0] != x.shape[0]:
+            tokens = jnp.broadcast_to(tokens, (x.shape[0], *tokens.shape[1:]))
         scale = (self.dim // self.num_heads) ** -0.5
         kv = _Dense(self.dim * 2, name="kv")(x)
         k, v = jnp.split(kv, 2, axis=-1)
@@ -130,6 +136,8 @@ class EAMIdentity(nn.Module):
 
     @nn.compact
     def __call__(self, x, tokens):
+        if tokens.shape[0] != x.shape[0]:
+            tokens = jnp.broadcast_to(tokens, (x.shape[0], *tokens.shape[1:]))
         scale = (self.dim // self.num_heads) ** -0.5
         out, attn = _attend(
             _split_heads(tokens, self.num_heads),

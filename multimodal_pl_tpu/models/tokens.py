@@ -41,11 +41,11 @@ def init_class_tokens(
     }
 
 
-def masked_class_means(x: jax.Array, mask: jax.Array, num_fg: int):
-    """Per-class masked channel means.
+def masked_class_sums(x: jax.Array, mask: jax.Array, num_fg: int):
+    """Per-class masked channel sums and voxel counts.
 
     x: (B, d, h, w, C); mask: (B, d, h, w) integer labels (0 = none).
-    Returns (means (num_fg, C), counts (num_fg,)) for labels 1..num_fg.
+    Returns (sums (num_fg, C), counts (num_fg,)) for labels 1..num_fg.
     """
     b = x.shape[0]
     c = x.shape[-1]
@@ -56,6 +56,19 @@ def masked_class_means(x: jax.Array, mask: jax.Array, num_fg: int):
     )  # (L, B, S)
     counts = onehot.sum(axis=(1, 2))
     sums = jnp.einsum("lbs,bsc->lc", onehot, xf, preferred_element_type=jnp.float32)
+    return sums, counts
+
+
+def masked_class_means(x: jax.Array, mask: jax.Array, num_fg: int,
+                       axis_name: str | None = None):
+    """Per-class masked channel means, optionally psum-reduced over a mesh
+    axis (the multi-device generalization of the reference's per-rank EMA —
+    the reference never synchronized tokens across DDP ranks, letting them
+    drift; a psum over the data axis keeps them consistent)."""
+    sums, counts = masked_class_sums(x, mask, num_fg)
+    if axis_name is not None:
+        sums = jax.lax.psum(sums, axis_name)
+        counts = jax.lax.psum(counts, axis_name)
     means = sums / jnp.maximum(counts, 1.0)[:, None]
     return means.astype(x.dtype), counts
 
@@ -65,6 +78,7 @@ def renew_tokens(
     features: Sequence[jax.Array],
     fmask: jax.Array,
     alpha: float = 0.01,
+    axis_name: str | None = None,
 ) -> Dict[str, jax.Array]:
     """Functional equivalent of model.renew_token (unet3D.py:1051-1068).
 
@@ -78,7 +92,7 @@ def renew_tokens(
         tok = tokens[name]
         num_fg = tok.shape[0]
         m = resize_nearest(fmask[..., None].astype(x.dtype), x.shape[1:4])[..., 0]
-        means, counts = masked_class_means(x, m, num_fg)
+        means, counts = masked_class_means(x, m, num_fg, axis_name)
         upd = tok * (1.0 - alpha) + alpha * means.astype(tok.dtype)
         new[name] = jnp.where((counts > 0)[:, None], upd, tok)
     return new

@@ -1,0 +1,129 @@
+"""Epoch-level training orchestration (reference train_amos_atlas_final.py:188-474).
+
+Per epoch: poly LR, iterate prefetched batches through the fused jit step,
+log metrics; every ``val_every`` epochs run full-volume sliding-window
+validation on the valid split and checkpoint when the supervised-organ dice
+sum improves (train:431-456); always checkpoint at the end.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_pl_tpu.data.dataset import AMOSDataset
+from multimodal_pl_tpu.infer.metrics import organ_scores
+from multimodal_pl_tpu.infer.sliding import SlidingWindowPredictor
+from multimodal_pl_tpu.losses.compose import feature_ramp
+from multimodal_pl_tpu.train.checkpoint import save_checkpoint
+from multimodal_pl_tpu.train.state import StepConfig, TrainState
+from multimodal_pl_tpu.train.step import poly_lr
+from multimodal_pl_tpu.utils.logging import MetricsLogger
+
+
+@dataclass
+class LoopConfig:
+    num_epochs: int = 500
+    batch_size: int = 1
+    learning_rate: float = 5e-4
+    power: float = 0.9
+    val_every: int = 50
+    snapshot_dir: str = "snapshots/fold1"
+    start_epoch: int = 0
+    tile: tuple = (64, 192, 192)
+    num_classes: int = 14
+    keep_last: int = 3
+
+
+def validate(state: TrainState, model, dataset: AMOSDataset, cfg: LoopConfig,
+             logger: Optional[MetricsLogger] = None, epoch: int = 0):
+    """Sliding-window validation over the valid split (train:480-597).
+
+    Returns (dice_sum_supervised, per-organ CT/MRI dice tables).
+    """
+    fwd = lambda tiles: model.apply(state.params, tiles, state.tokens)[0]
+    predictor = SlidingWindowPredictor(fwd, cfg.tile, cfg.num_classes)
+
+    nfg = cfg.num_classes - 1
+    ct_dice = np.zeros(nfg)
+    ct_count = np.zeros(nfg)
+    mri_dice = np.zeros(nfg)
+    mri_count = np.zeros(nfg)
+    sup_dice_sum = 0.0
+    sup_count = 0
+
+    for i in range(len(dataset)):
+        s = dataset[i]
+        logits = predictor(s.image[..., 0])
+        dice, senc, spec, _ = organ_scores(logits[None], jnp.asarray(s.label)[None], nfg)
+        dice = np.asarray(dice)
+        if s.case_id < 510:  # CT bucket threshold (train:532)
+            ct_dice += dice
+            ct_count += 1
+        else:
+            mri_dice += dice
+            mri_count += 1
+        sup = np.asarray(s.sup_mask[1:]) > 0
+        sup_dice_sum += float(dice[sup].sum())
+        sup_count += int(sup.sum())
+
+    ct = ct_dice / np.maximum(ct_count, 1)
+    mri = mri_dice / np.maximum(mri_count, 1)
+    if logger:
+        logger.log(epoch, {"val_dice_ct_mean": float(ct.mean()),
+                           "val_dice_mri_mean": float(mri.mean()),
+                           "val_dice_sup_sum": sup_dice_sum}, prefix="val/")
+    return sup_dice_sum, ct, mri
+
+
+def train_loop(state: TrainState, step_fn, model, train_ds: AMOSDataset,
+               valid_ds: Optional[AMOSDataset], scfg: StepConfig, cfg: LoopConfig,
+               log_every: int = 10):
+    os.makedirs(cfg.snapshot_dir, exist_ok=True)
+    logger = MetricsLogger(cfg.snapshot_dir)
+    best = -np.inf
+    device_keys = ("image", "label", "catlas", "sup_mask", "label_t")
+
+    for epoch in range(cfg.start_epoch, cfg.num_epochs):
+        state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
+        lr = poly_lr(cfg.learning_rate, epoch, cfg.num_epochs, cfg.power)
+        wf = feature_ramp(epoch, scfg.pretrain_epoch, scfg.ramp_until, scfg.weight_feature_max)
+
+        epoch_losses = []
+        t0 = time.time()
+        for it, batch in enumerate(train_ds.batches(cfg.batch_size, epochs=1)):
+            b = {k: jnp.asarray(batch[k]) for k in device_keys}
+            state, metrics = step_fn(state, b, lr, wf)
+            loss = float(metrics["loss"])  # forced sync: keeps host/device in lockstep
+            epoch_losses.append(loss)
+            if it % log_every == 0:
+                logger.log(int(state.step), {k: float(v) for k, v in metrics.items()})
+        dt = time.time() - t0
+        n = max(len(epoch_losses), 1)
+        logger.log(epoch, {
+            "epoch_loss": float(np.mean(epoch_losses)) if epoch_losses else float("nan"),
+            "lr": float(lr),
+            "patches_per_sec": n * cfg.batch_size / dt,
+        }, prefix="epoch/")
+        print(f"Epoch_sum {epoch}: lr = {float(lr):.4} loss = "
+              f"{np.mean(epoch_losses) if epoch_losses else float('nan'):.4} "
+              f"({n * cfg.batch_size / dt:.2f} patches/s)")
+
+        if valid_ds is not None and epoch >= 5 and (epoch + 1) % cfg.val_every == 0:
+            r1, ct, mri = validate(state, model, valid_ds, cfg, logger, epoch)
+            print(f"validate: sup_dice_sum={r1:.4f} ct_mean={ct.mean():.4f} "
+                  f"mri_mean={mri.mean():.4f}")
+            if r1 > best or epoch % 100 == 0:
+                if r1 > best:
+                    best = r1
+                save_checkpoint(cfg.snapshot_dir, state, int(state.step))
+
+    save_checkpoint(cfg.snapshot_dir, state, int(state.step))
+    logger.close()
+    return state

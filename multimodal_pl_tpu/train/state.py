@@ -1,0 +1,124 @@
+"""Train state: every mutable quantity of a training run in one pytree.
+
+Covers what the reference scatters across objects and fixes its checkpoint
+gap: segmenter/refiner/discriminator params, SGD momentum buffers, the EMA
+class tokens (NOT in the reference's state_dict — unet3D.py:1016-1021 are
+plain tensors, silently dropped on save; see SURVEY.md §5), and step/epoch
+counters. Being a single pytree, it shards/checkpoints/donates as one unit.
+
+Optimizer semantics (documented deviations):
+- Segmenter: torch-SGD(momentum=0.9, wd=1e-4) semantics, poly LR per epoch
+  (train_amos_atlas_final.py:132-135, 198).
+- Refiner: the snapshot's optimizer covers only model.parameters()
+  (train:132), which would leave the refiner frozen at init even though its
+  loss is computed and backpropagated — an apparent snapshot bug. We include
+  the refiner in the SGD update (the paper's intent); set
+  ``train_refiner=False`` in StepConfig to reproduce the literal snapshot.
+- Discriminator: the reference builds a FRESH Adam(lr=1e-4·poly) every
+  iteration (train:324) — with zeroed moments every step, Adam reduces to
+  g / (|g| + eps), i.e. sign-SGD. We implement exactly that update.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from multimodal_pl_tpu.models import (
+    NormStyleDiscriminator,
+    DeepStyleDiscriminator,
+    RefinerUNet3D,
+    UNet3DFEAM,
+    init_class_tokens,
+)
+
+
+@flax.struct.dataclass
+class StepConfig:
+    """Static (hashable) per-run configuration baked into the jit'd step."""
+
+    num_classes: int = flax.struct.field(pytree_node=False, default=14)
+    num_epochs: int = flax.struct.field(pytree_node=False, default=500)
+    deep_up: bool = flax.struct.field(pytree_node=False, default=True)
+    augmask: int = flax.struct.field(pytree_node=False, default=2)
+    weight_gan: float = flax.struct.field(pytree_node=False, default=1e-3)
+    momentum: float = flax.struct.field(pytree_node=False, default=0.9)
+    weight_decay: float = flax.struct.field(pytree_node=False, default=1e-4)
+    disc_lr: float = flax.struct.field(pytree_node=False, default=1e-4)
+    token_alpha: float = flax.struct.field(pytree_node=False, default=0.01)
+    train_refiner: bool = flax.struct.field(pytree_node=False, default=True)
+    pretrain_epoch: int = flax.struct.field(pytree_node=False, default=20)
+    ramp_until: int = flax.struct.field(pytree_node=False, default=50)
+    weight_feature_max: float = flax.struct.field(pytree_node=False, default=0.1)
+    compute_dtype: Any = flax.struct.field(pytree_node=False, default=jnp.float32)
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any            # segmenter
+    rparams: Any           # refiner
+    dparams: Any           # discriminator
+    momentum: Any          # SGD momentum for (params, rparams)
+    tokens: Dict[str, jax.Array]
+    step: jax.Array
+    epoch: jax.Array
+
+
+def create_train_state(rng: jax.Array, cfg: StepConfig,
+                       patch: tuple = (64, 192, 192)) -> TrainState:
+    """Build models + fresh state. Init runs at a tiny spatial shape (the
+    params only depend on channel counts) to keep compile time down."""
+    k_model, k_ref, k_disc, k_tok = jax.random.split(rng, 4)
+    nc = cfg.num_classes
+
+    model = UNet3DFEAM(num_classes=nc, weight_std=True, deep_up=cfg.deep_up)
+    tokens = init_class_tokens(k_tok, nc)
+    tiny = jnp.zeros((1, 16, 32, 32, 1))
+    # jit the inits: unjitted flax init dispatches hundreds of single ops
+    params = jax.jit(model.init)(k_model, tiny, tokens)
+
+    refiner = RefinerUNet3D(num_classes=2, weight_std=True, init_filter=24, in_channel=2)
+    rparams = jax.jit(refiner.init)(k_ref, jnp.zeros((1, 32, 32, 32, 2)))
+
+    if cfg.deep_up:
+        disc = NormStyleDiscriminator()
+        dparams = jax.jit(disc.init)(k_disc, jnp.zeros((1, 32, 32, 32, 2)))
+    else:
+        disc = DeepStyleDiscriminator()
+        dparams = jax.jit(disc.init)(
+            k_disc,
+            jnp.zeros((1, 32, 96, 96, 2)),
+            [jnp.zeros((1, 4, 12, 12, 1)), jnp.zeros((1, 8, 24, 24, 1)),
+             jnp.zeros((1, 16, 48, 48, 1))],
+        )
+
+    momentum = jax.tree_util.tree_map(jnp.zeros_like, (params, rparams))
+    return TrainState(
+        params=params,
+        rparams=rparams,
+        dparams=dparams,
+        momentum=momentum,
+        tokens=tokens,
+        step=jnp.zeros((), jnp.int32),
+        epoch=jnp.zeros((), jnp.int32),
+    )
+
+
+def torch_sgd_update(params, grads, buf, lr, momentum=0.9, weight_decay=1e-4):
+    """torch.optim.SGD (dampening=0, nesterov=False) semantics:
+    g += wd * p;  buf = mu * buf + g;  p -= lr * buf."""
+
+    new_buf = jax.tree_util.tree_map(
+        lambda p, g, b: momentum * b + (g + weight_decay * p), params, grads, buf
+    )
+    new_params = jax.tree_util.tree_map(lambda p, b: p - lr * b, params, new_buf)
+    return new_params, new_buf
+
+
+def fresh_adam_update(params, grads, lr, eps=1e-8):
+    """One step of a freshly-initialized Adam == lr * g / (|g| + eps)
+    (the reference's per-iteration Adam reconstruction, train:324)."""
+    return jax.tree_util.tree_map(lambda p, g: p - lr * g / (jnp.abs(g) + eps), params, grads)

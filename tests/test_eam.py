@@ -63,3 +63,18 @@ def test_attn_to_map_shape():
     assert m.shape == (2, 2, 3, 4, 13)
     # mean over heads of ones is ones
     np.testing.assert_allclose(np.asarray(m), 1.0)
+
+
+def test_eam_token_broadcast_over_batch(rng):
+    """Singleton token batch must broadcast over a >1 voxel batch (the
+    sliding-window tile-batch case; regression for torch matmul semantics)."""
+    C = 32
+    x = jnp.asarray(rng.standard_normal((3, 10, C)).astype(np.float32))
+    tok = jnp.asarray(rng.standard_normal((1, 13, C)).astype(np.float32))
+    model = EAM(dim=C, num_heads=4)
+    params = model.init(jax.random.PRNGKey(0), x, tok)
+    out, attn = model.apply(params, x, tok)
+    assert out.shape == (3, 13, C)
+    assert attn.shape == (3, 4, 13, 10)
+    # each batch element sees the same tokens; different x -> different outputs
+    assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))

@@ -1,0 +1,118 @@
+"""Mechanics of the fused train step on a tiny synthetic batch (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_pl_tpu.models import (
+    NormStyleDiscriminator,
+    RefinerUNet3D,
+    UNet3DFEAM,
+)
+from multimodal_pl_tpu.train import StepConfig, TrainState, create_train_state, make_train_step
+from multimodal_pl_tpu.train.state import fresh_adam_update, torch_sgd_update
+from multimodal_pl_tpu.train.step import poly_lr
+
+# smallest patch the full GAN step allows: the discriminator's six stride-2
+# convs need >= 64 per spatial dim (and the refiner needs divisibility by 32)
+P = (64, 64, 64)
+NC = 14
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = StepConfig(num_classes=NC, deep_up=True, augmask=2, weight_gan=1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    model = UNet3DFEAM(num_classes=NC, weight_std=True, deep_up=True)
+    refiner = RefinerUNet3D(num_classes=2, weight_std=True, init_filter=24, in_channel=2)
+    disc = NormStyleDiscriminator()
+    step = make_train_step(model, refiner, disc, cfg)
+
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, NC, (1, *P)).astype(np.int32)
+    batch = {
+        "image": jnp.asarray(rng.standard_normal((1, *P, 1)), jnp.float32),
+        "label": jnp.asarray(labels),
+        "catlas": jnp.asarray(rng.random((NC - 1, *P)), jnp.float32),
+        "sup_mask": jnp.asarray([1, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], jnp.float32),
+        "label_t": jnp.asarray([0, 0, 0, 0, 1, 1, 1, 1, 1, 0, 1, 1, 1], jnp.float32),
+    }
+    return cfg, state, step, batch
+
+
+def test_step_runs_and_updates(setup):
+    cfg, state, step, batch = setup
+    tok_before = jax.tree_util.tree_map(np.asarray, state.tokens)
+    p_before = np.asarray(
+        state.params["params"]["encoder"]["conv1"]["kernel"]
+    ).copy()
+    d_before = np.asarray(state.dparams["params"]["block1"]["kernel"]).copy()
+
+    state2, metrics = step(state, batch, jnp.float32(5e-4), jnp.float32(0.05))
+
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"metric {k} not finite"
+    assert float(metrics["loss"]) > 0
+    assert int(state2.step) == 1
+
+    p_after = np.asarray(state2.params["params"]["encoder"]["conv1"]["kernel"])
+    assert not np.allclose(p_before, p_after), "segmenter params did not move"
+    d_after = np.asarray(state2.dparams["params"]["block1"]["kernel"])
+    assert not np.allclose(d_before, d_after), "discriminator params did not move"
+
+    # supervised organ 3 appears in labels -> its token should move where predicted
+    moved = any(
+        not np.allclose(np.asarray(state2.tokens[k]), tok_before[k]) for k in tok_before
+    )
+    # token only moves when prediction agrees with label; random init may not agree,
+    # so just assert tokens are finite and shapes preserved
+    for k in tok_before:
+        assert np.asarray(state2.tokens[k]).shape == tok_before[k].shape
+        assert np.all(np.isfinite(np.asarray(state2.tokens[k])))
+
+    # second step must reuse the compiled program and keep being finite
+    state3, metrics3 = step(state2, batch, jnp.float32(4e-4), jnp.float32(0.05))
+    assert np.isfinite(float(metrics3["loss"]))
+
+
+def test_sgd_matches_torch(rng):
+    import torch
+
+    p0 = rng.standard_normal((5, 3)).astype(np.float32)
+    steps = [rng.standard_normal((5, 3)).astype(np.float32) for _ in range(3)]
+
+    tp = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+    opt = torch.optim.SGD([tp], lr=0.01, momentum=0.9, weight_decay=1e-4)
+    for g in steps:
+        opt.zero_grad()
+        tp.grad = torch.from_numpy(g.copy())
+        opt.step()
+
+    jp, buf = jnp.asarray(p0), jnp.zeros_like(jnp.asarray(p0))
+    for g in steps:
+        jp, buf = torch_sgd_update(jp, jnp.asarray(g), buf, 0.01, 0.9, 1e-4)
+    np.testing.assert_allclose(np.asarray(jp), tp.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_fresh_adam_matches_torch(rng):
+    import torch
+
+    p0 = rng.standard_normal((4, 4)).astype(np.float32)
+    g = rng.standard_normal((4, 4)).astype(np.float32)
+
+    tp = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+    opt = torch.optim.Adam([tp], lr=1e-4)  # fresh optimizer, single step
+    tp.grad = torch.from_numpy(g.copy())
+    opt.step()
+
+    jp = fresh_adam_update(jnp.asarray(p0), jnp.asarray(g), 1e-4)
+    np.testing.assert_allclose(np.asarray(jp), tp.detach().numpy(), rtol=1e-4, atol=1e-7)
+
+
+def test_poly_lr_matches_reference():
+    # lr_poly(base, iter, max_iter, power) = base * (1 - iter/max)^power
+    for e in [0, 100, 499]:
+        got = float(poly_lr(5e-4, e, 500, 0.9))
+        want = 5e-4 * (1 - e / 500) ** 0.9
+        np.testing.assert_allclose(got, want, rtol=5e-5)  # f32 pow precision
