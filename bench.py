@@ -57,8 +57,10 @@ def main():
     vol = rng.standard_normal(VOL).astype(np.float32)
     n_windows = len(make_window_grid(VOL, TILE))
 
-    # ---- batched XLA scan path ----
-    predictor = SlidingWindowPredictor(fwd, TILE, NC, window_batch=4)
+    # ---- batched XLA scan path (bf16 compute / f32 blend: the shipping
+    # TPU inference config; the naive loop below runs the reference's f32) ----
+    predictor = SlidingWindowPredictor(fwd, TILE, NC, window_batch=4,
+                                       compute_dtype=jnp.bfloat16)
     _sync(predictor(vol))  # compile
     t0 = time.time()
     for _ in range(REPS):

@@ -45,6 +45,29 @@ def get_arguments() -> argparse.ArgumentParser:
     return p
 
 
+def _save_qualitative_png(save_path: str, sample, pred: np.ndarray) -> None:
+    """Middle-slice image/label/prediction triptych (reference
+    evaluate_amos.py:441-480)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    t = pred.shape[0] // 2
+    fig, axes = plt.subplots(1, 3, figsize=(9, 3))
+    axes[0].imshow(sample.image[t, :, :, 0], cmap="gray")
+    axes[1].imshow(sample.label[t], vmin=0, vmax=13, cmap="nipy_spectral")
+    axes[2].imshow(pred[t], vmin=0, vmax=13, cmap="nipy_spectral")
+    for ax in axes:
+        ax.axis("off")
+    plt.subplots_adjust(wspace=0.02, hspace=0.02)
+    fig.savefig(os.path.join(save_path, f"{sample.name}.png"), dpi=150,
+                bbox_inches="tight")
+    plt.close(fig)
+
+
 def main(argv=None):
     args = get_arguments().parse_args(argv)
 
@@ -114,6 +137,7 @@ def main(argv=None):
             if args.print_preds:
                 write_nifti(os.path.join(args.save_path, f"{s.name}_pred.nii.gz"),
                             pred.astype(np.uint8), (1, 1, 2))
+                _save_qualitative_png(args.save_path, s, pred)
 
     for name, tot, cnt in [("CT", ct_dice, ct_n), ("MRI", mri_dice, mri_n)]:
         mean = tot / max(cnt, 1)

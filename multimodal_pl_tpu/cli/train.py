@@ -65,6 +65,8 @@ def get_arguments() -> argparse.ArgumentParser:
     p.add_argument("--supervision_csv", type=str, default="supervise_mask.csv")
     p.add_argument("--bf16", type=str2bool, default=False,
                    help="bfloat16 compute policy for the model forward/backward")
+    p.add_argument("--remat", type=str2bool, default=True,
+                   help="checkpoint U-Net stages to fit full patches in HBM")
     p.add_argument("--mesh", type=str, default="",
                    help="data-parallel mesh spec, e.g. 'data:8' (empty = single device)")
     return p
@@ -100,6 +102,7 @@ def main(argv=None):
         momentum=args.momentum,
         weight_decay=args.weight_decay,
         pretrain_epoch=args.pretrain_epoch,
+        remat=args.remat,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
     state = create_train_state(rng, scfg)
@@ -112,7 +115,7 @@ def main(argv=None):
             print(f"File not exists in the reload path: {args.reload_path}")
 
     model = UNet3DFEAM(num_classes=args.num_classes, weight_std=args.weight_std,
-                       deep_up=args.deep_up)
+                       deep_up=args.deep_up, remat=args.remat)
     refiner = RefinerUNet3D(num_classes=2, weight_std=args.weight_std,
                             init_filter=24, in_channel=2)
     disc = NormStyleDiscriminator() if args.deep_up else DeepStyleDiscriminator()

@@ -73,6 +73,53 @@ def pad_to(vol: np.ndarray, target: Sequence[int]) -> np.ndarray:
     return np.pad(vol, pads, "constant")
 
 
+def id2trainId(label: np.ndarray, task_id: int) -> Optional[np.ndarray]:
+    """MOTS 2-channel (organ, tumor) target map (MOTSDataset.py:188-217);
+    channels are -1 where the task has no such structure."""
+    if task_id in (0, 1, 3):
+        organ, tumor = label >= 1, label == 2
+    elif task_id == 2:
+        organ, tumor = label == 1, label == 2
+    elif task_id in (4, 5):
+        organ, tumor = None, label == 1
+    elif task_id == 6:
+        organ, tumor = label == 1, None
+    else:
+        print("Error, No such task!")
+        return None
+    out = np.zeros((2, *label.shape), np.float32)
+    out[0] = -1 if organ is None else np.where(organ, 1, 0)
+    out[1] = -1 if tumor is None else np.where(tumor, 1, 0)
+    return out
+
+
+def locate_bbx(label: np.ndarray, crop_size, scaler: float, rng: np.random.Generator,
+               margin: int = 32, p_fg: float = 0.8):
+    """Foreground-biased crop box (MOTSDataset.py:219-267): with prob p_fg the
+    crop is drawn around the label bounding box (expanded to at least the
+    scaled crop size + margin), otherwise uniformly."""
+    scale = [int(c * scaler) for c in crop_size]
+    shape = label.shape
+    idx = np.nonzero(label >= 1)
+    lo = [int(a.min()) for a in idx] if idx[0].size else [0, 0, 0]
+    hi = [int(a.max()) for a in idx] if idx[0].size else list(shape)
+    for d in range(3):
+        if hi[d] - lo[d] <= scale[d]:
+            half = (scale[d] - (hi[d] - lo[d])) // 2
+            lo[d] -= half
+            hi[d] += half
+        lo[d] = max(lo[d] - margin, 0)
+        hi[d] = min(hi[d] + margin, shape[d])
+    starts = []
+    for d in range(3):
+        if rng.random() < p_fg:
+            a, b = lo[d], max(hi[d] - scale[d], lo[d] + 1)
+        else:
+            a, b = 0, max(shape[d] - scale[d], 1)
+        starts.append(int(rng.integers(a, b)))
+    return [(s, s + sc) for s, sc in zip(starts, scale)]
+
+
 @dataclass
 class Sample:
     image: np.ndarray       # (D, H, W, 1) float32
@@ -104,10 +151,18 @@ class AMOSDataset:
         use_ct_mri=(True, True),
         split_seed: int = 1,
         seed: int = 0,
+        mirror: bool = False,
+        scale: bool = False,
     ):
+        # Note: the reference dataset accepts scale/mirror flags but its final
+        # __getitem__ never applies them (MOTSDataset.py:299-397) — the run
+        # that produced the baseline log used intensity augs only. Enabling
+        # them here adds random axis flips / 0.9-1.1 zoom to training crops.
         self.root = root
         self.crop_d, self.crop_h, self.crop_w = crop_size
         self.usage = usage
+        self.mirror = mirror
+        self.scale = scale
         self.rng = np.random.default_rng(seed)
 
         allfiles = sorted(glob.glob(os.path.join(root, "*.nii.gz"))) + sorted(
@@ -176,6 +231,23 @@ class AMOSDataset:
             image = image[b : b + self.crop_h, c : c + self.crop_w, a : a + self.crop_d]
             label = label[b : b + self.crop_h, c : c + self.crop_w, a : a + self.crop_d]
             catlas = catlas[:, b : b + self.crop_h, c : c + self.crop_w, a : a + self.crop_d]
+            if self.mirror:
+                for ax in range(3):
+                    if self.rng.random() < 0.5:
+                        image = np.flip(image, ax)
+                        label = np.flip(label, ax)
+                        catlas = np.flip(catlas, ax + 1)
+            if self.scale and self.rng.random() < 0.3:
+                from scipy.ndimage import zoom as nd_zoom
+
+                z = float(self.rng.uniform(0.9, 1.1))
+                shp = image.shape
+                image = nd_zoom(image, z, order=1)
+                label = nd_zoom(label, z, order=0)
+                catlas = nd_zoom(catlas, (1, z, z, z), order=0)
+                image = pad_to(image, shp)[: shp[0], : shp[1], : shp[2]]
+                label = pad_to(label, shp)[: shp[0], : shp[1], : shp[2]]
+                catlas = pad_to(catlas, shp)[:, : shp[0], : shp[1], : shp[2]]
 
         # (H, W, D) -> channels-last (D, H, W)
         image = np.ascontiguousarray(image.transpose(2, 0, 1))[..., None]

@@ -86,9 +86,13 @@ class SlidingWindowPredictor:
     """
 
     def __init__(self, apply_fn: Callable, tile: Sequence[int], num_classes: int,
-                 window_batch: int = 4, tta: bool = False,
+                 window_batch: int = 2, tta: bool = False,
                  bucket: Sequence[int] = (32, 64, 64), overlap: float = 0.25,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, compute_dtype=None):
+        """dtype: accumulation dtype for the Gaussian blend (keep f32);
+        compute_dtype: dtype tiles are cast to before the network (bf16 halves
+        HBM pressure on TPU — small-channel stages pad 4x under (8,128) tiling,
+        so full-res activations dominate memory)."""
         self.apply_fn = apply_fn
         self.tile = tuple(tile)
         self.num_classes = num_classes
@@ -97,6 +101,7 @@ class SlidingWindowPredictor:
         self.bucket = tuple(bucket)
         self.overlap = overlap
         self.dtype = dtype
+        self.compute_dtype = compute_dtype or dtype
         self.gaussian = jnp.asarray(gaussian_importance_map(self.tile))[..., None]
         self._jitted = {}
 
@@ -110,18 +115,22 @@ class SlidingWindowPredictor:
             return jax.lax.dynamic_slice(vol, (start[0], start[1], start[2], 0),
                                          (*tile, vol.shape[-1]))
 
-        def run(vol, starts):
-            # vol: (D, H, W, 1); starts: (n_batches, wb, 3)
+        def run(vol, starts, *extra):
+            # vol: (D, H, W, 1); starts: (n_batches, wb, 3); extra: dynamic
+            # closure args (e.g. params) forwarded to apply_fn so weight
+            # updates don't force recompilation
             full = jnp.zeros((*padded_shape, nc), self.dtype)
             count = jnp.zeros((*padded_shape, 1), self.dtype)
+            net = (lambda t: self.apply_fn(t, *extra)) if extra else self.apply_fn
 
             def body(carry, batch_starts):
                 full, count = carry
                 tiles = jax.vmap(lambda s: gather(vol, s))(batch_starts)  # (wb, *tile, 1)
+                tiles = tiles.astype(self.compute_dtype)
                 if self.tta:
-                    logits = _tta_forward(self.apply_fn, tiles)
+                    logits = _tta_forward(net, tiles)
                 else:
-                    logits = self.apply_fn(tiles)
+                    logits = net(tiles)
                 logits = logits.astype(self.dtype) * gauss
 
                 def scatter(i, carry):
@@ -142,9 +151,13 @@ class SlidingWindowPredictor:
 
         return jax.jit(run)
 
-    def __call__(self, image: np.ndarray) -> jax.Array:
+    def __call__(self, image: np.ndarray, *extra) -> jax.Array:
         """image: (D, H, W) or (D, H, W, 1) host volume. Returns blended
-        logits (D, H, W, num_classes) for the original (unpadded) shape."""
+        logits (D, H, W, num_classes) for the original (unpadded) shape.
+
+        *extra: dynamic arguments forwarded to apply_fn (pass params here —
+        the compiled program is cached per volume-shape bucket and reused
+        across weight updates)."""
         img = np.asarray(image)
         if img.ndim == 3:
             img = img[..., None]
@@ -165,7 +178,7 @@ class SlidingWindowPredictor:
         key = (padded, n_batches)
         if key not in self._jitted:
             self._jitted[key] = self._build(padded, n_batches)
-        out = self._jitted[key](jnp.asarray(img, self.dtype), jnp.asarray(starts))
+        out = self._jitted[key](jnp.asarray(img, self.dtype), jnp.asarray(starts), *extra)
         return out[: orig[0], : orig[1], : orig[2]]
 
 

@@ -36,25 +36,33 @@ from multimodal_pl_tpu.ops.resize import resize_nearest, upsample_trilinear
 
 
 class Encoder(nn.Module):
-    """conv1 + 5 residual stages (unet3D.py:949-955). Returns skips + bottom."""
+    """conv1 + 5 residual stages (unet3D.py:949-955). Returns skips + bottom.
+
+    remat=True checkpoints each stage (recompute activations in the backward
+    pass) — trades ~33% more FLOPs for the HBM needed to fit full 64x192x192
+    patches; full-res stages pad 4x under TPU (8,128) tiling, so memory, not
+    compute, is the training-step ceiling.
+    """
 
     layers: Sequence[int] = (1, 2, 2, 2, 2)
     base: int = 32
     weight_std: bool = True
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
         b = self.base
+        stage = nn.remat(ResStage) if self.remat else ResStage
         x = WSConv3d(b, stride=1, padding=1, weight_std=self.weight_std, name="conv1")(x)
-        x = ResStage(b, self.layers[0], stride=1, weight_std=self.weight_std, name="layer0")(x)
+        x = stage(b, self.layers[0], stride=1, weight_std=self.weight_std, name="layer0")(x)
         skip0 = x
-        x = ResStage(b * 2, self.layers[1], stride=2, weight_std=self.weight_std, name="layer1")(x)
+        x = stage(b * 2, self.layers[1], stride=2, weight_std=self.weight_std, name="layer1")(x)
         skip1 = x
-        x = ResStage(b * 4, self.layers[2], stride=2, weight_std=self.weight_std, name="layer2")(x)
+        x = stage(b * 4, self.layers[2], stride=2, weight_std=self.weight_std, name="layer2")(x)
         skip2 = x
-        x = ResStage(b * 8, self.layers[3], stride=2, weight_std=self.weight_std, name="layer3")(x)
+        x = stage(b * 8, self.layers[3], stride=2, weight_std=self.weight_std, name="layer3")(x)
         skip3 = x
-        x = ResStage(b * 8, self.layers[4], stride=2, weight_std=self.weight_std, name="layer4")(x)
+        x = stage(b * 8, self.layers[4], stride=2, weight_std=self.weight_std, name="layer4")(x)
         x = GNReLUConv(b * 8, num_groups=16, weight_std=self.weight_std, use_bias=False,
                        name="fusion")(x)
         return (skip0, skip1, skip2, skip3), x
@@ -71,6 +79,7 @@ class UNet3DFEAM(nn.Module):
     base: int = 32
     token_update: str = "post"  # 'post' (feam3) | 'pre' (feam2)
     token_alpha: float = 0.01
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, tokens: Dict[str, jax.Array], mask: jax.Array | None = None):
@@ -79,7 +88,8 @@ class UNet3DFEAM(nn.Module):
         mask: (B, D, H, W) labels — only needed for token_update='pre'.
         Returns (logits, attn_maps, deep_maps, features, new_tokens).
         """
-        skips, x = Encoder(self.layers, self.base, self.weight_std, name="encoder")(x)
+        skips, x = Encoder(self.layers, self.base, self.weight_std, self.remat,
+                           name="encoder")(x)
         skip0, skip1, skip2, skip3 = skips
         nc = self.num_classes
         b = self.base
@@ -91,10 +101,12 @@ class UNet3DFEAM(nn.Module):
 
         full_spatial = (x.shape[1] * 16, x.shape[2] * 16, x.shape[3] * 16)
 
+        dec_stage = nn.remat(ResStage) if self.remat else ResStage
+
         def decode(x, skip, feat, blocks, name):
             x = upsample_trilinear(x, 2)
             x = x + skip
-            return ResStage(feat, blocks, stride=1, weight_std=self.weight_std, name=name)(x)
+            return dec_stage(feat, blocks, stride=1, weight_std=self.weight_std, name=name)(x)
 
         def maybe_pre_update(x, key):
             if self.token_update == "pre" and mask is not None:

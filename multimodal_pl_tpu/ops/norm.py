@@ -28,10 +28,12 @@ def group_norm(
     n = orig_shape[0]
     spatial = orig_shape[1:-1]
     xg = x.reshape(n, -1, num_groups, c // num_groups)
-    # stats per (n, group) over (spatial, c_per_group)
-    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xg - mean), axis=(1, 3), keepdims=True)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    # stats per (n, group) over (spatial, c_per_group), always in f32 so a
+    # bf16 compute policy doesn't destabilize the normalization
+    xf = xg.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+    xg = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
     out = xg.reshape(n, *spatial, c)
     return out * scale + bias
 

@@ -41,14 +41,22 @@ class LoopConfig:
     keep_last: int = 3
 
 
+def make_validation_predictor(model, cfg: LoopConfig) -> SlidingWindowPredictor:
+    """Weights are dynamic args, so one compiled program per volume bucket is
+    reused across all validation rounds of a run."""
+    fwd = lambda tiles, params, tokens: model.apply(params, tiles, tokens)[0]
+    return SlidingWindowPredictor(fwd, cfg.tile, cfg.num_classes)
+
+
 def validate(state: TrainState, model, dataset: AMOSDataset, cfg: LoopConfig,
-             logger: Optional[MetricsLogger] = None, epoch: int = 0):
+             logger: Optional[MetricsLogger] = None, epoch: int = 0,
+             predictor: Optional[SlidingWindowPredictor] = None):
     """Sliding-window validation over the valid split (train:480-597).
 
     Returns (dice_sum_supervised, per-organ CT/MRI dice tables).
     """
-    fwd = lambda tiles: model.apply(state.params, tiles, state.tokens)[0]
-    predictor = SlidingWindowPredictor(fwd, cfg.tile, cfg.num_classes)
+    if predictor is None:
+        predictor = make_validation_predictor(model, cfg)
 
     nfg = cfg.num_classes - 1
     ct_dice = np.zeros(nfg)
@@ -60,7 +68,7 @@ def validate(state: TrainState, model, dataset: AMOSDataset, cfg: LoopConfig,
 
     for i in range(len(dataset)):
         s = dataset[i]
-        logits = predictor(s.image[..., 0])
+        logits = predictor(s.image[..., 0], state.params, state.tokens)
         dice, senc, spec, _ = organ_scores(logits[None], jnp.asarray(s.label)[None], nfg)
         dice = np.asarray(dice)
         if s.case_id < 510:  # CT bucket threshold (train:532)
@@ -89,6 +97,7 @@ def train_loop(state: TrainState, step_fn, model, train_ds: AMOSDataset,
     logger = MetricsLogger(cfg.snapshot_dir)
     best = -np.inf
     device_keys = ("image", "label", "catlas", "sup_mask", "label_t")
+    predictor = make_validation_predictor(model, cfg) if valid_ds is not None else None
 
     for epoch in range(cfg.start_epoch, cfg.num_epochs):
         state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
@@ -116,7 +125,7 @@ def train_loop(state: TrainState, step_fn, model, train_ds: AMOSDataset,
               f"({n * cfg.batch_size / dt:.2f} patches/s)")
 
         if valid_ds is not None and epoch >= 5 and (epoch + 1) % cfg.val_every == 0:
-            r1, ct, mri = validate(state, model, valid_ds, cfg, logger, epoch)
+            r1, ct, mri = validate(state, model, valid_ds, cfg, logger, epoch, predictor)
             print(f"validate: sup_dice_sum={r1:.4f} ct_mean={ct.mean():.4f} "
                   f"mri_mean={mri.mean():.4f}")
             if r1 > best or epoch % 100 == 0:

@@ -50,6 +50,7 @@ class StepConfig:
     disc_lr: float = flax.struct.field(pytree_node=False, default=1e-4)
     token_alpha: float = flax.struct.field(pytree_node=False, default=0.01)
     train_refiner: bool = flax.struct.field(pytree_node=False, default=True)
+    remat: bool = flax.struct.field(pytree_node=False, default=False)
     pretrain_epoch: int = flax.struct.field(pytree_node=False, default=20)
     ramp_until: int = flax.struct.field(pytree_node=False, default=50)
     weight_feature_max: float = flax.struct.field(pytree_node=False, default=0.1)
@@ -74,7 +75,8 @@ def create_train_state(rng: jax.Array, cfg: StepConfig,
     k_model, k_ref, k_disc, k_tok = jax.random.split(rng, 4)
     nc = cfg.num_classes
 
-    model = UNet3DFEAM(num_classes=nc, weight_std=True, deep_up=cfg.deep_up)
+    model = UNet3DFEAM(num_classes=nc, weight_std=True, deep_up=cfg.deep_up,
+                       remat=cfg.remat)
     tokens = init_class_tokens(k_tok, nc)
     tiny = jnp.zeros((1, 16, 32, 32, 1))
     # jit the inits: unjitted flax init dispatches hundreds of single ops

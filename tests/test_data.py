@@ -198,3 +198,39 @@ class TestEndToEndDataset:
         assert atlas.shape[0] == 13
         assert os.path.exists(out)
         assert 0 <= atlas.min() and atlas.max() <= 1.0 + 1e-5
+
+
+class TestMOTSHelpers:
+    def test_id2trainid_task2(self):
+        from multimodal_pl_tpu.data.dataset import id2trainId
+
+        lab = np.array([[[0, 1], [2, 1]]])
+        out = id2trainId(lab, 2)
+        np.testing.assert_array_equal(out[0], (lab == 1).astype(np.float32))
+        np.testing.assert_array_equal(out[1], (lab == 2).astype(np.float32))
+
+    def test_id2trainid_missing_channel(self):
+        from multimodal_pl_tpu.data.dataset import id2trainId
+
+        lab = np.ones((2, 2, 2), np.int32)
+        out = id2trainId(lab, 6)  # task 6: organ only
+        assert (out[1] == -1).all()
+
+    def test_locate_bbx_in_bounds(self, rng):
+        from multimodal_pl_tpu.data.dataset import locate_bbx
+
+        label = np.zeros((64, 64, 64), np.int32)
+        label[20:40, 25:45, 30:50] = 1
+        for _ in range(5):
+            box = locate_bbx(label, (16, 16, 16), 1.0, np.random.default_rng(0))
+            for (a, b), s in zip(box, label.shape):
+                assert 0 <= a and b <= s and b - a == 16
+
+    def test_mirror_scale_options(self, synthetic_root):
+        atlas = np.load(os.path.join(synthetic_root, "atlas_mm.npy"))
+        ds = AMOSDataset(os.path.join(synthetic_root, "imagesTr"),
+                         crop_size=(16, 32, 32), usage="train", atlas=atlas,
+                         mirror=True, scale=True, seed=3)
+        s = ds[0]
+        assert s.image.shape == (16, 32, 32, 1)
+        assert np.isfinite(s.image).all()
