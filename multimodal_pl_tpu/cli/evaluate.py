@@ -42,6 +42,8 @@ def get_arguments() -> argparse.ArgumentParser:
     p.add_argument("--use_atlas_threshold", type=str2bool, default=False,
                    help="atlas-blended decision rule (evaluate_amos.py:146)")
     p.add_argument("--deep_up", type=str2bool, default=True)
+    p.add_argument("--bf16", type=str2bool, default=True,
+                   help="bfloat16 tile compute (f32 Gaussian blend)")
     return p
 
 
@@ -98,8 +100,9 @@ def main(argv=None):
     model = UNet3DFEAM(num_classes=args.num_classes, weight_std=args.weight_std,
                        deep_up=args.deep_up)
     fwd = lambda tiles: model.apply(state.params, tiles, state.tokens)[0]
-    predictor = SlidingWindowPredictor(fwd, (d, h, w), args.num_classes,
-                                       window_batch=args.window_batch, tta=args.tta)
+    predictor = SlidingWindowPredictor(
+        fwd, (d, h, w), args.num_classes, window_batch=args.window_batch,
+        tta=args.tta, compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
 
     atlas = np.load(args.atlas_path) if os.path.exists(args.atlas_path) else None
     ds = AMOSDataset(args.data_dir, crop_size=(d, h, w), usage=args.usage, atlas=atlas)

@@ -128,10 +128,14 @@ def main(argv=None):
                            atlas=atlas, supervision_csv=sup_csv)
     print(f"{len(train_ds)} train / {len(valid_ds)} valid cases")
 
+    n_dev = 1
     if args.mesh:
+        from multimodal_pl_tpu.parallel.mesh import make_mesh
         from multimodal_pl_tpu.parallel.sharded_step import make_sharded_train_step
 
-        step_fn = make_sharded_train_step(model, refiner, disc, scfg, args.mesh)
+        mesh = make_mesh(args.mesh)
+        n_dev = mesh.devices.size
+        step_fn = make_sharded_train_step(model, refiner, disc, scfg, mesh)
     else:
         step_fn = make_train_step(model, refiner, disc, scfg)
 
@@ -146,7 +150,7 @@ def main(argv=None):
         tile=(d, h, w),
         num_classes=args.num_classes,
     )
-    train_loop(state, step_fn, model, train_ds, valid_ds, scfg, lcfg)
+    train_loop(state, step_fn, model, train_ds, valid_ds, scfg, lcfg, n_dev=n_dev)
 
 
 if __name__ == "__main__":

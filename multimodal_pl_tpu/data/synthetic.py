@@ -21,8 +21,9 @@ from multimodal_pl_tpu.data.supervision import generate_supervision_csv
 
 def make_case(rng: np.random.Generator, shape=(96, 96, 80), num_fg: int = 13,
               modality: str = "ct"):
-    """Returns (image, label) with gaussian-blob organs at stable relative
-    positions (so an atlas makes sense across cases)."""
+    """Returns (image, label) with ellipsoid organs at stable relative
+    positions (so an atlas makes sense across cases). Organ sizes are scaled
+    to the volume (a few percent occupancy, like mid-size abdominal organs)."""
     D, H, W = shape
     label = np.zeros(shape, np.uint8)
     image = rng.normal(0, 20, shape).astype(np.float32)
@@ -31,11 +32,12 @@ def make_case(rng: np.random.Generator, shape=(96, 96, 80), num_fg: int = 13,
             (0.7, 0.5, 0.45), (0.4, 0.5, 0.6), (0.6, 0.3, 0.6), (0.6, 0.7, 0.6),
             (0.35, 0.5, 0.3), (0.65, 0.5, 0.7), (0.45, 0.25, 0.45), (0.45, 0.75, 0.45),
             (0.55, 0.5, 0.35)]
+    base_r = 0.11 * min(shape)
+    zz, yy, xx = np.ogrid[:D, :H, :W]
     for organ in range(1, num_fg + 1):
         cz, cy, cx = grid[organ - 1]
-        c = np.array([cz * D, cy * H, cx * W]) + rng.normal(0, 2, 3)
-        r = rng.uniform(4, 8)
-        zz, yy, xx = np.ogrid[:D, :H, :W]
+        c = np.array([cz * D, cy * H, cx * W]) + rng.normal(0, 1.5, 3)
+        r = base_r * rng.uniform(0.8, 1.3)
         blob = ((zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2) < r**2
         label[blob] = organ
         image[blob] += 150 + 20 * organ
@@ -47,12 +49,20 @@ def make_case(rng: np.random.Generator, shape=(96, 96, 80), num_fg: int = 13,
     return image.astype(np.float32), label
 
 
+# CT ids spread across the supervision ranges (data/supervision._CT_RANGES) so
+# a fixture set exercises different supervised organs, including ones whose
+# label_t flag admits them into the refiner's tlist
+_SPREAD_CT_IDS = [40, 80, 130, 170, 240, 290, 360, 430, 455, 475, 30, 120, 230, 350]
+
+
 def make_synthetic_amos(root: str, n_ct: int = 4, n_mri: int = 2,
-                        shape=(96, 96, 80), seed: int = 0, num_fg: int = 13):
+                        shape=(96, 96, 80), seed: int = 0, num_fg: int = 13,
+                        spread_ids: bool = True):
     """Write imagesTr/labelsTr fixtures + atlas + supervise_mask.csv.
 
-    CT ids start at 1, MRI ids at 500 (the reference's modality threshold).
-    Returns (images_dir, atlas_path, csv_path).
+    CT ids are spread across the supervision id-ranges (or 1..n_ct when
+    spread_ids=False); MRI ids start at 500 (the reference's modality
+    threshold). Returns (images_dir, atlas_path, csv_path).
     """
     rng = np.random.default_rng(seed)
     img_dir = os.path.join(root, "imagesTr")
@@ -60,7 +70,17 @@ def make_synthetic_amos(root: str, n_ct: int = 4, n_mri: int = 2,
     os.makedirs(img_dir, exist_ok=True)
     os.makedirs(lab_dir, exist_ok=True)
 
-    ids = list(range(1, n_ct + 1)) + list(range(500, 500 + n_mri))
+    if spread_ids:
+        ct_ids = list(_SPREAD_CT_IDS)
+        nxt = 1
+        while len(ct_ids) < n_ct:  # fill with unique ids
+            if nxt not in ct_ids:
+                ct_ids.append(nxt)
+            nxt += 1
+        ct_ids = ct_ids[:n_ct]
+    else:
+        ct_ids = list(range(1, n_ct + 1))
+    ids = sorted(ct_ids) + list(range(500, 500 + n_mri))
     labels_sum = np.zeros((num_fg, *shape), np.float32)
     for cid in ids:
         modality = "mri" if cid >= 500 else "ct"

@@ -92,12 +92,30 @@ def validate(state: TrainState, model, dataset: AMOSDataset, cfg: LoopConfig,
 
 def train_loop(state: TrainState, step_fn, model, train_ds: AMOSDataset,
                valid_ds: Optional[AMOSDataset], scfg: StepConfig, cfg: LoopConfig,
-               log_every: int = 10):
+               log_every: int = 10, n_dev: int = 1):
+    """n_dev > 1: step_fn is a sharded step (parallel.make_sharded_train_step)
+    — n_dev host batches are drawn per step and stacked into the global-batch
+    layout (parallel.mesh.shard_batch), one per mesh device."""
     os.makedirs(cfg.snapshot_dir, exist_ok=True)
     logger = MetricsLogger(cfg.snapshot_dir)
     best = -np.inf
     device_keys = ("image", "label", "catlas", "sup_mask", "label_t")
     predictor = make_validation_predictor(model, cfg) if valid_ds is not None else None
+
+    def batch_stream(epoch_batches):
+        if n_dev == 1:
+            for b in epoch_batches:
+                yield {k: jnp.asarray(b[k]) for k in device_keys}
+            return
+        from multimodal_pl_tpu.parallel.mesh import shard_batch
+
+        group = []
+        for b in epoch_batches:
+            group.append({k: b[k] for k in device_keys})
+            if len(group) == n_dev:
+                gb = shard_batch(group)
+                yield {k: jnp.asarray(v) for k, v in gb.items()}
+                group = []
 
     for epoch in range(cfg.start_epoch, cfg.num_epochs):
         state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
@@ -106,8 +124,7 @@ def train_loop(state: TrainState, step_fn, model, train_ds: AMOSDataset,
 
         epoch_losses = []
         t0 = time.time()
-        for it, batch in enumerate(train_ds.batches(cfg.batch_size, epochs=1)):
-            b = {k: jnp.asarray(batch[k]) for k in device_keys}
+        for it, b in enumerate(batch_stream(train_ds.batches(cfg.batch_size, epochs=1))):
             state, metrics = step_fn(state, b, lr, wf)
             loss = float(metrics["loss"])  # forced sync: keeps host/device in lockstep
             epoch_losses.append(loss)
@@ -115,14 +132,15 @@ def train_loop(state: TrainState, step_fn, model, train_ds: AMOSDataset,
                 logger.log(int(state.step), {k: float(v) for k, v in metrics.items()})
         dt = time.time() - t0
         n = max(len(epoch_losses), 1)
+        pps = n * cfg.batch_size * n_dev / dt
         logger.log(epoch, {
             "epoch_loss": float(np.mean(epoch_losses)) if epoch_losses else float("nan"),
             "lr": float(lr),
-            "patches_per_sec": n * cfg.batch_size / dt,
+            "patches_per_sec": pps,
         }, prefix="epoch/")
         print(f"Epoch_sum {epoch}: lr = {float(lr):.4} loss = "
               f"{np.mean(epoch_losses) if epoch_losses else float('nan'):.4} "
-              f"({n * cfg.batch_size / dt:.2f} patches/s)")
+              f"({pps:.2f} patches/s)")
 
         if valid_ds is not None and epoch >= 5 and (epoch + 1) % cfg.val_every == 0:
             r1, ct, mri = validate(state, model, valid_ds, cfg, logger, epoch, predictor)

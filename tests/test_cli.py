@@ -57,7 +57,7 @@ def test_evaluate_cli_parses():
 @pytest.fixture(scope="module")
 def raw_root(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("raw_amos"))
-    make_synthetic_amos(root, n_ct=3, n_mri=1, shape=(40, 40, 32), seed=1)
+    make_synthetic_amos(root, n_ct=3, n_mri=1, shape=(40, 40, 32), seed=1, spread_ids=False)
     return root
 
 

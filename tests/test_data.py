@@ -140,7 +140,7 @@ class TestAugment:
 @pytest.fixture(scope="module")
 def synthetic_root(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("amos"))
-    make_synthetic_amos(root, n_ct=4, n_mri=2, shape=(48, 48, 40), seed=0)
+    make_synthetic_amos(root, n_ct=4, n_mri=2, shape=(48, 48, 40), seed=0, spread_ids=False)
     return root
 
 
