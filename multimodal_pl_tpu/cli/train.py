@@ -63,8 +63,9 @@ def get_arguments() -> argparse.ArgumentParser:
     # --- TPU-native additions ---
     p.add_argument("--atlas_path", type=str, default="atlas_mm.npy")
     p.add_argument("--supervision_csv", type=str, default="supervise_mask.csv")
-    p.add_argument("--bf16", type=str2bool, default=False,
-                   help="bfloat16 compute policy for the model forward/backward")
+    p.add_argument("--bf16", type=str2bool, default=True,
+                   help="bfloat16 compute policy (f32 losses/optimizer). The "
+                        "full 64x192x192 patch does not fit 16G HBM in f32")
     p.add_argument("--remat", type=str2bool, default=True,
                    help="checkpoint U-Net stages to fit full patches in HBM")
     p.add_argument("--mesh", type=str, default="",
