@@ -145,3 +145,50 @@ def test_step_timer():
         t.stop(jnp.ones(3))
     assert len(t.times) == 2
     assert t.mean > 0 and t.rate(4.0) > 0
+
+
+class TestConfig:
+    def test_default_preprocessing_config(self):
+        from multimodal_pl_tpu.data.config import get_config
+
+        cfg = get_config("preprocessing_amos", config_dir="/nonexistent")
+        assert cfg["orientation"] == "RAS"
+        assert cfg["target_spacing"] == [1, 1, 2]
+
+    def test_yaml_roundtrip(self, tmp_path):
+        import yaml
+
+        from multimodal_pl_tpu.data.config import augment_config_from_yaml, get_config
+
+        doc = {"augmentation": {"p_rotate": 0.5, "rotation": [-5, 5],
+                                "translate_precentage": 10, "flip_axis": [0, 1, 2],
+                                "patch_size": [8, 8, 8]}}
+        p = tmp_path / "cfg.yaml"
+        p.write_text(yaml.safe_dump(doc))
+        cfg = get_config(str(p))
+        aug = augment_config_from_yaml(cfg)
+        assert aug.p_rotate == 0.5
+        assert aug.rotation == (-5, 5)
+        assert aug.translate_percentage == 10
+        assert aug.patch_size == (8, 8, 8)
+
+    def test_amos_label_map(self):
+        from multimodal_pl_tpu.data.config import AMOS_LABELS
+
+        assert AMOS_LABELS[6] == "liver" and len(AMOS_LABELS) == 14
+
+
+def test_import_every_module():
+    """Every module imports cleanly (catches syntax/import rot)."""
+    import importlib
+    import pkgutil
+
+    import multimodal_pl_tpu
+
+    failures = []
+    for m in pkgutil.walk_packages(multimodal_pl_tpu.__path__, "multimodal_pl_tpu."):
+        try:
+            importlib.import_module(m.name)
+        except Exception as e:
+            failures.append((m.name, repr(e)))
+    assert not failures, failures
