@@ -20,7 +20,7 @@ import random
 import threading
 import queue as queue_mod
 from dataclasses import dataclass
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, Optional, Sequence
 
 import numpy as np
 

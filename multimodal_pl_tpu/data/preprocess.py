@@ -18,7 +18,7 @@ from typing import Tuple
 import numpy as np
 from scipy import ndimage
 
-from multimodal_pl_tpu.data.nifti import NiftiImage, read_nifti, write_nifti
+from multimodal_pl_tpu.data.nifti import read_nifti, write_nifti
 
 
 def reorient_to_ras(data: np.ndarray, affine: np.ndarray):

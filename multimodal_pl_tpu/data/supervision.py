@@ -21,8 +21,7 @@ preprocess/atlas_gen_mm.py:33-54 mapped into label space.
 from __future__ import annotations
 
 import csv
-import json
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 

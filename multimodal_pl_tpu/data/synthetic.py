@@ -10,8 +10,6 @@ no fixtures at all (SURVEY.md §4).
 from __future__ import annotations
 
 import os
-from typing import Sequence
-
 import numpy as np
 from scipy.ndimage import gaussian_filter
 

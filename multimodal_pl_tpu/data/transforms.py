@@ -10,7 +10,7 @@ shear into a single resample (one interpolation instead of MONAI's four).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Sequence, Tuple
 
 import numpy as np

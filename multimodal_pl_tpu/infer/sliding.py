@@ -20,7 +20,6 @@ no-ops, so bucketing never changes results).
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Callable, Sequence, Tuple
 
 import jax

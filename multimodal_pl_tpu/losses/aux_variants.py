@@ -9,8 +9,6 @@ weighted-sum rewrites as losses.compose.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from multimodal_pl_tpu.losses.dice import SMOOTH, binary_dice_masked
-from multimodal_pl_tpu.losses.partial import edice_full2, edice_partial
+from multimodal_pl_tpu.losses.partial import edice_partial
 from multimodal_pl_tpu.ops.resize import resize_nearest
 
 DEEP_WEIGHTS = (0.125, 0.25, 0.5, 1.0)  # losses.py:116

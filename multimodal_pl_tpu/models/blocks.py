@@ -10,7 +10,6 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from multimodal_pl_tpu.ops.conv import conv3d, standardize_kernel

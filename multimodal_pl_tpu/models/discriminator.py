@@ -10,10 +10,9 @@ stride-2 geometry matches the reference voxel-for-voxel.
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
-from multimodal_pl_tpu.models.blocks import WSConv3d, torch_init
+from multimodal_pl_tpu.models.blocks import WSConv3d
 from multimodal_pl_tpu.models.unet3d import _Linear
 
 

@@ -12,7 +12,6 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
-import jax
 
 from multimodal_pl_tpu.models.blocks import GNReLUConv, ResStage, WSConv3d
 from multimodal_pl_tpu.ops.resize import upsample_trilinear

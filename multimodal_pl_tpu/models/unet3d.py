@@ -23,7 +23,7 @@ Structure (layers=(1,2,2,2,2), base=32):
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import flax.linen as nn
 import jax

@@ -10,8 +10,7 @@ so any window count shards cleanly onto any mesh size.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional, Sequence
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -20,14 +20,11 @@ Exact-math notes (all verified by tests against the reference formulas):
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict
-
 import jax
 import jax.numpy as jnp
 
-from multimodal_pl_tpu.losses.compose import feature_ramp, refine_loss, segmentation_loss
-from multimodal_pl_tpu.losses.gan import bce_loss, smooth_cross_entropy
+from multimodal_pl_tpu.losses.compose import refine_loss, segmentation_loss
+from multimodal_pl_tpu.losses.gan import smooth_cross_entropy
 from multimodal_pl_tpu.models.tokens import agreement_mask, renew_tokens
 from multimodal_pl_tpu.train.state import (
     StepConfig,
