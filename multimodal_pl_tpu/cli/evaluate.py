@@ -88,18 +88,32 @@ def main(argv=None):
     nfg = args.num_classes - 1
 
     scfg = StepConfig(num_classes=args.num_classes, deep_up=args.deep_up)
-    state = create_train_state(jax.random.PRNGKey(1234), scfg)
-    if args.reload_from_checkpoint:
-        path = args.reload_path or latest_checkpoint(os.path.dirname(args.reload_path) or ".")
-        if path and os.path.exists(path):
-            print(f"loading from checkpoint: {path}")
-            state = restore_checkpoint(path, state)
-        else:
-            print(f"File not exists in the reload path: {args.reload_path}")
+
+    # --reload_path accepts comma-separated checkpoints: multi-net ensemble
+    # averaging of logits (reference multi_net, evaluate_amos.py:199-209)
+    states = []
+    paths = [p for p in args.reload_path.split(",") if p] or [""]
+    for pth in paths:
+        state = create_train_state(jax.random.PRNGKey(1234), scfg)
+        if args.reload_from_checkpoint:
+            path = pth or latest_checkpoint(os.path.dirname(pth) or ".")
+            if path and os.path.exists(path):
+                print(f"loading from checkpoint: {path}")
+                state = restore_checkpoint(path, state)
+            else:
+                print(f"File not exists in the reload path: {pth}")
+        states.append(state)
 
     model = UNet3DFEAM(num_classes=args.num_classes, weight_std=args.weight_std,
                        deep_up=args.deep_up)
-    fwd = lambda tiles: model.apply(state.params, tiles, state.tokens)[0]
+
+    def fwd(tiles):
+        out = model.apply(states[0].params, tiles, states[0].tokens)[0]
+        for s in states[1:]:
+            out = out + model.apply(s.params, tiles, s.tokens)[0]
+        return out / len(states)
+
+    state = states[0]
     predictor = SlidingWindowPredictor(
         fwd, (d, h, w), args.num_classes, window_batch=args.window_batch,
         tta=args.tta, compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
@@ -114,6 +128,8 @@ def main(argv=None):
     mri_dice = np.zeros(nfg); mri_n = 0
     ct_senc = np.zeros(nfg); mri_senc = np.zeros(nfg)
     ct_spec = np.zeros(nfg); mri_spec = np.zeros(nfg)
+    per_case_ct: list = []
+    per_case_mri: list = []
 
     with open(csv_path, "w", newline="") as f:
         writer = csv.writer(f)
@@ -135,19 +151,26 @@ def main(argv=None):
             print(f"{s.name}: mean dice {dice.mean():.4f}")
             if s.case_id < 507:   # CT/MRI bucket threshold (evaluate_amos.py:374)
                 ct_dice += dice; ct_senc += senc; ct_spec += spec; ct_n += 1
+                per_case_ct.append(dice)
             else:
                 mri_dice += dice; mri_senc += senc; mri_spec += spec; mri_n += 1
+                per_case_mri.append(dice)
             if args.print_preds:
                 write_nifti(os.path.join(args.save_path, f"{s.name}_pred.nii.gz"),
                             pred.astype(np.uint8), (1, 1, 2))
                 _save_qualitative_png(args.save_path, s, pred)
 
-    for name, tot, cnt in [("CT", ct_dice, ct_n), ("MRI", mri_dice, mri_n)]:
+    for name, tot, cnt, cases in [("CT", ct_dice, ct_n, per_case_ct),
+                                  ("MRI", mri_dice, mri_n, per_case_mri)]:
         mean = tot / max(cnt, 1)
         print(f"Sum results {name}")
         for t in range(nfg):
             print(f"Sum: Task{t}- Organ:{mean[t]:.4f}")
         print("mean_result", float(mean.mean()))
+        if cases:  # per-organ mean/std tables (evaluate_amos.py:507-508)
+            arr = np.stack(cases)
+            print(f"{name} per-organ mean: {np.round(arr.mean(0), 4).tolist()}")
+            print(f"{name} per-organ std:  {np.round(arr.std(0), 4).tolist()}")
     print(f"per-case CSV: {csv_path}")
 
 

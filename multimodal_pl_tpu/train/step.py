@@ -183,10 +183,12 @@ def build_step_body(model, refiner, disc, cfg: StepConfig, axis_name: str | None
             params=params, rparams=rparams, dparams=dparams,
             momentum=momentum, tokens=tokens, step=state.step + 1,
         )
-        # per-iteration training dice vs the FULL labels (train:265-275)
-        from multimodal_pl_tpu.infer.metrics import organ_scores
+        # per-iteration training dice vs the FULL labels (train:265-275), plus
+        # refiner pseudo-label dice (get_dice2, train:294)
+        from multimodal_pl_tpu.infer.metrics import organ_scores, refiner_organ_scores
 
         dice, _, _, _ = organ_scores(aux["logits"], batch["label"], nfg)
+        rdice, _, _ = refiner_organ_scores(aux["rlogits"], batch["label"][:1], nfg)
 
         metrics = {
             "loss": total,
@@ -195,6 +197,7 @@ def build_step_body(model, refiner, disc, cfg: StepConfig, axis_name: str | None
             "gan_g_loss": aux["gan_g_loss"],
             "disc_loss": d_loss,
             "train_dice_mean": jnp.mean(dice),
+            "refiner_dice_mean": jnp.mean(rdice),
             "lr": lr,
         }
         return new_state, metrics
