@@ -26,14 +26,18 @@ def standardize_kernel(w: jax.Array, eps: float = 1e-12) -> jax.Array:
 
     Equivalent to the reference's WS-Conv3d forward-time weight transform
     (unet3D.py:21-26): subtract the per-out-channel mean, divide by the
-    per-out-channel unbiased std.
+    per-out-channel unbiased std. Statistics are computed in f32 regardless of
+    the compute dtype (bf16 variances of near-identical weights lose most of
+    their significand).
     """
+    dtype = w.dtype
+    w = w.astype(jnp.float32)
     mean = jnp.mean(w, axis=(0, 1, 2, 3), keepdims=True)
     w = w - mean
     flat = w.reshape(-1, w.shape[-1])
     var = jnp.var(flat, axis=0, ddof=1)
     std = jnp.sqrt(var + eps)
-    return w / std
+    return (w / std).astype(dtype)
 
 
 def _norm_stride(stride) -> Sequence[int]:

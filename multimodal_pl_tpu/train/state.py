@@ -124,3 +124,17 @@ def fresh_adam_update(params, grads, lr, eps=1e-8):
     """One step of a freshly-initialized Adam == lr * g / (|g| + eps)
     (the reference's per-iteration Adam reconstruction, train:324)."""
     return jax.tree_util.tree_map(lambda p, g: p - lr * g / (jnp.abs(g) + eps), params, grads)
+
+
+def all_finite(tree) -> jax.Array:
+    """Scalar bool: every leaf of the pytree is finite."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    ok = jnp.array(True)
+    for l in leaves:
+        ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(l)))
+    return ok
+
+
+def select_tree(flag: jax.Array, new, old):
+    """new where flag else old, leafwise (skip-bad-update guard)."""
+    return jax.tree_util.tree_map(lambda a, b: jnp.where(flag, a, b), new, old)

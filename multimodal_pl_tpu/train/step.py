@@ -29,7 +29,9 @@ from multimodal_pl_tpu.models.tokens import agreement_mask, renew_tokens
 from multimodal_pl_tpu.train.state import (
     StepConfig,
     TrainState,
+    all_finite,
     fresh_adam_update,
+    select_tree,
     torch_sgd_update,
 )
 
@@ -157,10 +159,15 @@ def build_step_body(model, refiner, disc, cfg: StepConfig, axis_name: str | None
             grads = (gmodel, jax.tree_util.tree_map(jnp.zeros_like, state.rparams))
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
-        (params, rparams), momentum = torch_sgd_update(
+        # non-finite-gradient guard (absent in the reference): a single bad
+        # bf16 step otherwise poisons the weights permanently — skip it instead
+        g_ok = all_finite(grads)
+        new_pr, new_mom = torch_sgd_update(
             (state.params, state.rparams), grads, state.momentum, lr,
             cfg.momentum, cfg.weight_decay,
         )
+        (params, rparams) = select_tree(g_ok, new_pr, (state.params, state.rparams))
+        momentum = select_tree(g_ok, new_mom, state.momentum)
 
         # --- discriminator grads (fresh-Adam/sign update, poly lr) ---
         disc_lr = poly_lr(cfg.disc_lr, state.epoch, cfg.num_epochs)  # train:325
@@ -171,13 +178,16 @@ def build_step_body(model, refiner, disc, cfg: StepConfig, axis_name: str | None
             dgrads = jax.lax.pmean(dgrads, axis_name)
             d_loss = jax.lax.pmean(d_loss, axis_name)
             total = jax.lax.pmean(total, axis_name)
-        dparams = fresh_adam_update(state.dparams, dgrads, disc_lr)
+        d_ok = all_finite(dgrads)
+        dparams = select_tree(d_ok, fresh_adam_update(state.dparams, dgrads, disc_lr),
+                              state.dparams)
 
-        # --- class-token EMA renew (train:382-391) ---
+        # --- class-token EMA renew (train:382-391), guarded like the updates ---
         pred_labels = jnp.argmax(aux["logits"], axis=-1)
         fmask = agreement_mask(aux["cmask"], pred_labels, batch["sup_mask"])
-        tokens = renew_tokens(state.tokens, aux["feats"], fmask, cfg.token_alpha,
-                              axis_name=axis_name)
+        new_tokens = renew_tokens(state.tokens, aux["feats"], fmask, cfg.token_alpha,
+                                  axis_name=axis_name)
+        tokens = select_tree(all_finite(new_tokens), new_tokens, state.tokens)
 
         new_state = state.replace(
             params=params, rparams=rparams, dparams=dparams,
@@ -198,6 +208,8 @@ def build_step_body(model, refiner, disc, cfg: StepConfig, axis_name: str | None
             "disc_loss": d_loss,
             "train_dice_mean": jnp.mean(dice),
             "refiner_dice_mean": jnp.mean(rdice),
+            "grads_finite": g_ok.astype(jnp.float32),
+            "disc_grads_finite": d_ok.astype(jnp.float32),
             "lr": lr,
         }
         return new_state, metrics

@@ -116,3 +116,28 @@ def test_poly_lr_matches_reference():
         got = float(poly_lr(5e-4, e, 500, 0.9))
         want = 5e-4 * (1 - e / 500) ** 0.9
         np.testing.assert_allclose(got, want, rtol=5e-5)  # f32 pow precision
+
+
+def test_finite_guard_helpers():
+    from multimodal_pl_tpu.train.state import all_finite, select_tree
+
+    good = {"a": jnp.ones(3), "b": jnp.zeros(2)}
+    bad = {"a": jnp.ones(3), "b": jnp.array([1.0, np.nan])}
+    assert bool(all_finite(good))
+    assert not bool(all_finite(bad))
+    out = select_tree(all_finite(bad), bad, good)
+    np.testing.assert_array_equal(np.asarray(out["b"]), np.asarray(good["b"]))
+    out2 = select_tree(all_finite(good), bad, good)  # flag True -> takes new
+    np.testing.assert_array_equal(np.asarray(out2["a"]), np.asarray(bad["a"]))
+
+
+def test_ws_standardize_f32_stats_under_bf16(rng):
+    from multimodal_pl_tpu.ops.conv import standardize_kernel
+
+    w = (rng.standard_normal((3, 3, 3, 4, 8)) * 1e-3).astype(np.float32)
+    got_bf16 = standardize_kernel(jnp.asarray(w, jnp.bfloat16))
+    got_f32 = standardize_kernel(jnp.asarray(w))
+    assert got_bf16.dtype == jnp.bfloat16
+    # bf16-stored result must agree with the f32 computation to bf16 precision
+    np.testing.assert_allclose(np.asarray(got_bf16, np.float32), np.asarray(got_f32),
+                               rtol=2e-2, atol=2e-2)
