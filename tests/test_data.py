@@ -234,3 +234,51 @@ class TestMOTSHelpers:
         s = ds[0]
         assert s.image.shape == (16, 32, 32, 1)
         assert np.isfinite(s.image).all()
+
+
+class TestPreprocess:
+    def test_reorient_identity_ras(self, rng):
+        from multimodal_pl_tpu.data.preprocess import reorient_to_ras
+
+        data = rng.random((4, 5, 6)).astype(np.float32)  # (Z, Y, X)
+        affine = np.diag([1.0, 1.0, 2.0, 1.0]).astype(np.float32)
+        out, spacing = reorient_to_ras(data, affine)
+        np.testing.assert_array_equal(out, data)
+        np.testing.assert_allclose(spacing, (1, 1, 2))
+
+    def test_reorient_flipped_axis(self, rng):
+        from multimodal_pl_tpu.data.preprocess import reorient_to_ras
+
+        data = rng.random((4, 5, 6)).astype(np.float32)
+        # x axis stored right-to-left (LAS): flip of world-x
+        affine = np.diag([-1.0, 1.0, 2.0, 1.0]).astype(np.float32)
+        out, _ = reorient_to_ras(data, affine)
+        np.testing.assert_array_equal(out, data[:, :, ::-1])
+
+    def test_reorient_permuted_axes(self, rng):
+        from multimodal_pl_tpu.data.preprocess import reorient_to_ras
+
+        data = rng.random((4, 5, 6)).astype(np.float32)
+        # index axes (i,j,k) map to world (y,x,z): swap x and y
+        affine = np.zeros((4, 4), np.float32)
+        affine[1, 0] = 1.0  # i -> +y
+        affine[0, 1] = 1.0  # j -> +x
+        affine[2, 2] = 2.0  # k -> +z
+        affine[3, 3] = 1.0
+        out, spacing = reorient_to_ras(data, affine)
+        # xyz view: transpose(data,(2,1,0)) has axes (i,j,k)=(y,x,z) world;
+        # RAS wants (x,y,z) -> swap first two -> back to (Z,Y,X) index order
+        want = np.transpose(np.transpose(data, (2, 1, 0)), (1, 0, 2))
+        want = np.transpose(want, (2, 1, 0))
+        np.testing.assert_array_equal(out, want)
+        np.testing.assert_allclose(spacing, (1, 1, 2))
+
+    def test_body_mask_crop(self, rng):
+        from multimodal_pl_tpu.data.preprocess import get_body
+
+        vol = np.full((20, 20, 20), -1000.0, np.float32)
+        vol[4:16, 4:16, 4:16] = 100.0  # "body"
+        body = get_body(vol, threshold=-200, min_voxels=10)
+        assert body is not None and body.sum() > 0
+        zz = np.nonzero(body)[0]
+        assert 3 <= zz.min() and zz.max() <= 16
