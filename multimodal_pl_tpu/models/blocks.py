@@ -13,6 +13,11 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from multimodal_pl_tpu.ops.conv import conv3d, standardize_kernel
+from multimodal_pl_tpu.ops.s2d import (
+    s2d_conv1x1,
+    s2d_conv3x3,
+    s2d_group_norm,
+)
 
 # torch Conv/Linear default weight init: kaiming_uniform(a=sqrt(5)) ==
 # U(-sqrt(1/fan_in), sqrt(1/fan_in)) == variance_scaling(1/3, fan_in, uniform)
@@ -140,6 +145,168 @@ class NoBottleneck(nn.Module):
                 name="downsample",
             )(x)
         return out + residual
+
+
+class WSConv3dS2D(nn.Module):
+    """WSConv3d computed in the space-to-depth block domain (ops/s2d.py).
+
+    Parameters are IDENTICAL to :class:`WSConv3d` (same names, same voxel-
+    domain shapes), so a model can switch domains per input shape without
+    changing its checkpoint format. `packing` is the INPUT packing ('a'
+    aligned / 's' shifted); a stride-1 k3 conv flips it (zero data movement —
+    the half-block shift rides on the conv's lo/hi padding), a stride-2 conv
+    exits to the half-resolution voxel domain, and a 1x1 conv preserves it.
+    Only the reference's conv configs are supported: k3/pad1 and k1/pad0.
+    """
+
+    features: int
+    kernel: Sequence[int] = (3, 3, 3)
+    stride: int = 1
+    use_bias: bool = False
+    weight_std: bool = True
+    packing: str = "a"
+
+    @nn.compact
+    def __call__(self, xb):
+        kd, kh, kw = self.kernel
+        ci = xb.shape[-1] // 8
+        w = self.param(
+            "kernel", torch_init, (kd, kh, kw, ci, self.features), jnp.float32
+        )
+        w = w.astype(xb.dtype)
+        if self.weight_std:
+            w = standardize_kernel(w)
+        bias = None
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+            bias = bias.astype(xb.dtype)
+        if (kd, kh, kw) == (1, 1, 1):
+            return s2d_conv1x1(xb, w, packing=self.packing, stride=self.stride, bias=bias)
+        assert (kd, kh, kw) == (3, 3, 3), "s2d path supports k3/pad1 and k1/pad0 only"
+        return s2d_conv3x3(xb, w, packing=self.packing, stride=self.stride, bias=bias)
+
+
+class GroupNormS2D(nn.Module):
+    """GroupNorm on a block tensor — identical params/stats to
+    :class:`GroupNorm`. With packing='s', boundary slabs are excluded from
+    the statistics and zeroed on output (restoring conv 'SAME' zero padding).
+    """
+
+    num_groups: int
+    eps: float = 1e-5
+    packing: str = "a"
+
+    @nn.compact
+    def __call__(self, xb):
+        c = xb.shape[-1] // 8
+        scale = self.param("scale", nn.initializers.ones_init(), (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,), jnp.float32)
+        return s2d_group_norm(xb, scale, bias, self.num_groups, self.eps,
+                              packing=self.packing)
+
+
+class GNReLUConvS2D(nn.Module):
+    """Block-domain GN -> ReLU -> 1x1 conv head (param-compatible with
+    :class:`GNReLUConv` restricted to its k=1 configs). Output packing equals
+    input packing for stride 1; stride 2 exits to the voxel domain."""
+
+    features: int
+    num_groups: int = 16
+    stride: int = 1
+    weight_std: bool = False
+    use_bias: bool = True
+    packing: str = "a"
+
+    @nn.compact
+    def __call__(self, xb):
+        xb = GroupNormS2D(self.num_groups, packing=self.packing, name="gn")(xb)
+        xb = nn.relu(xb)
+        return WSConv3dS2D(
+            self.features,
+            kernel=(1, 1, 1),
+            stride=self.stride,
+            use_bias=self.use_bias,
+            weight_std=self.weight_std,
+            packing=self.packing,
+            name="conv",
+        )(xb)
+
+
+class NoBottleneckS2D(nn.Module):
+    """:class:`NoBottleneck` on SHIFTED block tensors.
+
+    stride=1: gn1(masked) -> relu -> conv(s2a) -> gn2(aligned) -> relu ->
+    conv(a2s) -> + residual — in/out both shifted, zero shuffles.
+    stride=2: conv1 and the projection exit to the half-resolution voxel
+    domain (their output grid is the block grid), so the second conv and the
+    residual sum run as plain voxel ops.
+    """
+
+    features: int
+    stride: int = 1
+    group: int = 16
+    weight_std: bool = True
+
+    @nn.compact
+    def __call__(self, xb):
+        inplanes = xb.shape[-1] // 8
+        needs_proj = self.stride != 1 or inplanes != self.features
+
+        out = GroupNormS2D(self.group, packing="s", name="gn1")(xb)
+        out = nn.relu(out)
+        out = WSConv3dS2D(
+            self.features, stride=self.stride, weight_std=self.weight_std,
+            packing="s", name="conv1"
+        )(out)
+        if self.stride == 1:
+            out = GroupNormS2D(self.group, packing="a", name="gn2")(out)
+            out = nn.relu(out)
+            out = WSConv3dS2D(self.features, stride=1, weight_std=self.weight_std,
+                              packing="a", name="conv2")(out)
+        else:
+            out = GroupNorm(self.group, name="gn2")(out)
+            out = nn.relu(out)
+            out = WSConv3d(self.features, stride=1, padding=1, weight_std=self.weight_std,
+                           name="conv2")(out)
+
+        residual = xb
+        if needs_proj:
+            residual = GNReLUConvS2D(
+                self.features,
+                num_groups=self.group,
+                stride=self.stride,
+                weight_std=self.weight_std,
+                use_bias=False,
+                packing="s",
+                name="downsample",
+            )(xb)
+        return out + residual
+
+
+class ResStageS2D(nn.Module):
+    """:class:`ResStage` on shifted block tensors. With stride=2 the first
+    block exits the block domain and the remaining blocks are plain
+    :class:`NoBottleneck`s."""
+
+    features: int
+    blocks: int
+    stride: int = 1
+    group: int = 16
+    weight_std: bool = True
+
+    @nn.compact
+    def __call__(self, xb):
+        x = NoBottleneckS2D(
+            self.features, stride=self.stride, group=self.group,
+            weight_std=self.weight_std, name="block0"
+        )(xb)
+        block = NoBottleneck if self.stride != 1 else NoBottleneckS2D
+        for i in range(1, self.blocks):
+            x = block(
+                self.features, stride=1, group=self.group, weight_std=self.weight_std,
+                name=f"block{i}"
+            )(x)
+        return x
 
 
 class ResStage(nn.Module):

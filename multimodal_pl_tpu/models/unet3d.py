@@ -29,10 +29,23 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from multimodal_pl_tpu.models.blocks import GNReLUConv, ResStage, WSConv3d, torch_init
+from multimodal_pl_tpu.models.blocks import (
+    GNReLUConv,
+    GNReLUConvS2D,
+    ResStage,
+    ResStageS2D,
+    WSConv3d,
+    WSConv3dS2D,
+    torch_init,
+)
 from multimodal_pl_tpu.models.eam import EAM, attn_to_map
 from multimodal_pl_tpu.models.tokens import masked_class_means
 from multimodal_pl_tpu.ops.resize import resize_nearest, upsample_trilinear
+from multimodal_pl_tpu.ops.s2d import (
+    depth_to_space_shifted,
+    s2d_upsample_trilinear,
+    space_to_depth,
+)
 
 
 class Encoder(nn.Module):
@@ -48,15 +61,35 @@ class Encoder(nn.Module):
     base: int = 32
     weight_std: bool = True
     remat: bool = False
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
+        """With s2d=True (requires even D/H/W), the full-resolution stages run
+        in the space-to-depth block domain (ops/s2d.py) and skip0 is returned
+        as a block tensor (B, D/2, H/2, W/2, 8*base) — on TPU this fills the
+        128-lane minor dim that C=32 would pad 4x. Identical params and math
+        either way (tests/test_s2d.py)."""
         b = self.base
         stage = nn.remat(ResStage) if self.remat else ResStage
-        x = WSConv3d(b, stride=1, padding=1, weight_std=self.weight_std, name="conv1")(x)
-        x = stage(b, self.layers[0], stride=1, weight_std=self.weight_std, name="layer0")(x)
-        skip0 = x
-        x = stage(b * 2, self.layers[1], stride=2, weight_std=self.weight_std, name="layer1")(x)
+        if self.s2d:
+            stage_s2d = nn.remat(ResStageS2D) if self.remat else ResStageS2D
+            xb = space_to_depth(x)  # aligned packing
+            # a2s stem: output (and everything below until the stride-2 exit)
+            # uses the SHIFTED packing
+            xb = WSConv3dS2D(b, stride=1, weight_std=self.weight_std, packing="a",
+                             name="conv1")(xb)
+            xb = stage_s2d(b, self.layers[0], stride=1, weight_std=self.weight_std,
+                           name="layer0")(xb)
+            skip0 = xb  # shifted block domain
+            x = stage_s2d(b * 2, self.layers[1], stride=2, weight_std=self.weight_std,
+                          name="layer1")(xb)
+        else:
+            x = WSConv3d(b, stride=1, padding=1, weight_std=self.weight_std, name="conv1")(x)
+            x = stage(b, self.layers[0], stride=1, weight_std=self.weight_std, name="layer0")(x)
+            skip0 = x
+            x = stage(b * 2, self.layers[1], stride=2, weight_std=self.weight_std,
+                      name="layer1")(x)
         skip1 = x
         x = stage(b * 4, self.layers[2], stride=2, weight_std=self.weight_std, name="layer2")(x)
         skip2 = x
@@ -80,6 +113,7 @@ class UNet3DFEAM(nn.Module):
     token_update: str = "post"  # 'post' (feam3) | 'pre' (feam2)
     token_alpha: float = 0.01
     remat: bool = False
+    s2d: bool = True
 
     @nn.compact
     def __call__(self, x, tokens: Dict[str, jax.Array], mask: jax.Array | None = None):
@@ -87,9 +121,16 @@ class UNet3DFEAM(nn.Module):
 
         mask: (B, D, H, W) labels — only needed for token_update='pre'.
         Returns (logits, attn_maps, deep_maps, features, new_tokens).
+
+        s2d=True routes the full-resolution stages (encoder stem/layer0 and the
+        x1 decoder/classifier) through the space-to-depth block domain when the
+        spatial dims are even — the TPU layout fix for C=32 lane padding; the
+        parameter tree and the math are identical (tests/test_s2d.py). Odd
+        shapes fall back to the voxel path automatically.
         """
+        use_s2d = self.s2d and all(int(s) % 2 == 0 for s in x.shape[1:4])
         skips, x = Encoder(self.layers, self.base, self.weight_std, self.remat,
-                           name="encoder")(x)
+                           s2d=use_s2d, name="encoder")(x)
         skip0, skip1, skip2, skip3 = skips
         nc = self.num_classes
         b = self.base
@@ -154,8 +195,15 @@ class UNet3DFEAM(nn.Module):
             run_eam(x, "t3", b, "eam21", 2)
 
         # x1 scale
-        x = decode(x, skip0, b, 1, "x1_resb")
-        logits = GNReLUConv(nc, num_groups=16, name="precls")(x)
+        if use_s2d:
+            xb = s2d_upsample_trilinear(x, packing="s") + skip0
+            stage_s2d = nn.remat(ResStageS2D) if self.remat else ResStageS2D
+            xb = stage_s2d(b, 1, stride=1, weight_std=self.weight_std, name="x1_resb")(xb)
+            logits = depth_to_space_shifted(
+                GNReLUConvS2D(nc, num_groups=16, packing="s", name="precls")(xb))
+        else:
+            x = decode(x, skip0, b, 1, "x1_resb")
+            logits = GNReLUConv(nc, num_groups=16, name="precls")(x)
 
         return logits, attn_maps, deep_maps, features, new_tokens
 

@@ -1,0 +1,250 @@
+"""Space-to-depth (factor-2) compute domain for full-resolution 3D stages.
+
+Why: on TPU, NDHWC activations tile as (sublane, lane) = (W, C); the U-Net's
+full-resolution stages have C=32, which pads 4x in the 128-wide lane dim and
+lowers each 3x3x3 conv tap onto a quarter-empty MXU. Measured on v5e
+(bf16, batch 2, 64x192x192): a k3 32->32 conv costs 66.8 ms, while the same
+math as a k2 256->256 conv on the 2x2x2-block grid costs 7.8 ms — full lanes,
+8 taps instead of 27.
+
+Two block packings of a voxel tensor (B, D, H, W, C), both (B, D/2, H/2, W/2,
+8C) with position-major channels (block channel = pos * C + c):
+
+- ALIGNED  ('a'): block m holds voxels {2m, 2m+1}   (plain space_to_depth)
+- SHIFTED  ('s'): block m holds voxels {2m-1, 2m}, m = 0..n (n+1 blocks for a
+  2n-voxel axis; the two boundary slabs per axis hold out-of-range voxels)
+
+A stride-1 k3 'SAME' voxel conv maps between the packings as a dense k2 conv
+with zero data movement — the half-block shift is absorbed into which blocks
+the conv window reads (conv lo/hi padding), and one constant 0/1 tap map
+assembles the (2,2,2,8ci,8co) kernel from the voxel kernel for BOTH
+directions (the map is self-dual):
+
+- aligned -> shifted ("a2s"):  conv padding (1,1) per axis, n -> n+1 blocks
+- shifted -> aligned ("s2a"):  conv padding (0,0) per axis, n+1 -> n blocks
+
+so a GN->ReLU->conv->GN->ReLU->conv residual block alternates packings and
+never materializes a shuffle. Boundary slabs of a shifted tensor are garbage
+(the conv computes them from real edge voxels); they are excluded from
+GroupNorm statistics and re-zeroed by `s2d_group_norm(packing='s')` — the
+zero is exactly the voxel-domain conv's 'SAME' zero padding, so downstream
+convs are exact. A stride-2 k3 conv exits the block domain for free (its
+output grid IS the block grid).
+
+All ops are exact reformulations of the reference ops (3x3x3 pad-1 conv of
+unet3D.py:16-35, GroupNorm, trilinear x2 upsample of unet3D.py:963-965):
+identical multiply-add sets, different grouping. Parity is pinned in
+tests/test_s2d.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DN = ("NDHWC", "DHWIO", "NDHWC")
+
+
+def space_to_depth(x: jax.Array) -> jax.Array:
+    """(B, D, H, W, C) -> aligned blocks (B, D/2, H/2, W/2, 8C)."""
+    b, d, h, w, c = x.shape
+    x = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(b, d // 2, h // 2, w // 2, 8 * c)
+
+
+def depth_to_space(x: jax.Array) -> jax.Array:
+    """Inverse of :func:`space_to_depth` (aligned packing)."""
+    b, d, h, w, c8 = x.shape
+    c = c8 // 8
+    x = x.reshape(b, d, h, w, 2, 2, 2, c)
+    return x.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(b, 2 * d, 2 * h, 2 * w, c)
+
+
+def space_to_depth_shifted(x: jax.Array) -> jax.Array:
+    """Voxel tensor -> SHIFTED packing (zero boundary slabs). Test/entry
+    helper; inside the network shifted tensors are produced by a2s convs."""
+    return space_to_depth(jnp.pad(x, [(0, 0)] + [(1, 1)] * 3 + [(0, 0)]))
+
+
+def depth_to_space_shifted(x: jax.Array) -> jax.Array:
+    """SHIFTED packing -> voxel tensor (boundary slabs dropped)."""
+    v = depth_to_space(x)
+    return v[:, 1:-1, 1:-1, 1:-1, :]
+
+
+def _tap_map_s1() -> np.ndarray:
+    """T[k, p, m, s]: kernel tap k for output slot p reads window block m,
+    slot s (per axis; self-dual for a2s and s2a, see module docstring)."""
+    t = np.zeros((3, 2, 2, 2), np.float32)
+    for k in range(3):
+        for p in range(2):
+            r = p + k  # voxel index within the 4-voxel k2 window
+            t[k, p, r // 2, r % 2] = 1.0
+    return t
+
+
+def _tap_map_s2() -> np.ndarray:
+    """Stride-2 from SHIFTED input: output voxel j reads window voxels k
+    (window = shifted blocks j, j+1 = voxels 2j-1..2j+2)."""
+    t = np.zeros((3, 2, 2), np.float32)
+    for k in range(3):
+        t[k, k // 2, k % 2] = 1.0
+    return t
+
+
+def assemble_kernel_s1(w: jax.Array) -> jax.Array:
+    """(3,3,3,ci,co) -> (2,2,2,8ci,8co) block-domain kernel (stride 1; used
+    for both a2s and s2a directions)."""
+    ci, co = w.shape[3], w.shape[4]
+    t = jnp.asarray(_tap_map_s1(), w.dtype)
+    wp = jnp.einsum("abcio,apms,bqnt,crlu->mnlstuipqro", w, t, t, t)
+    return wp.reshape(2, 2, 2, 8 * ci, 8 * co)
+
+
+def assemble_kernel_s2(w: jax.Array) -> jax.Array:
+    """(3,3,3,ci,co) -> (2,2,2,8ci,co) stride-2 kernel (shifted input ->
+    half-resolution voxel output)."""
+    ci, co = w.shape[3], w.shape[4]
+    t = jnp.asarray(_tap_map_s2(), w.dtype)
+    wp = jnp.einsum("abcio,ams,bnt,clu->mnlstuio", w, t, t, t)
+    return wp.reshape(2, 2, 2, 8 * ci, co)
+
+
+def s2d_conv3x3(xb: jax.Array, w: jax.Array, packing: str,
+                stride: int = 1, bias: jax.Array | None = None) -> jax.Array:
+    """Exact 3x3x3 pad-1 conv in the block domain; zero data movement.
+
+    packing: the INPUT packing, 'a' (aligned) or 's' (shifted). stride 1
+    flips the packing ('a'->'s', 's'->'a'); stride 2 requires shifted input
+    and returns a half-resolution voxel tensor. Shifted inputs must have zero
+    (or masked-dead) boundary slabs — `s2d_group_norm(packing='s')` and
+    `space_to_depth_shifted` guarantee this.
+    """
+    if stride == 2:
+        assert packing == "s", "stride-2 conv consumes shifted packing"
+        wp = assemble_kernel_s2(w).astype(xb.dtype)
+        pad = [(0, 0)] * 3
+    else:
+        wp = assemble_kernel_s1(w).astype(xb.dtype)
+        pad = [(1, 1)] * 3 if packing == "a" else [(0, 0)] * 3
+    out = lax.conv_general_dilated(xb, wp, (1, 1, 1), pad, dimension_numbers=_DN)
+    if bias is not None:
+        out = out + (jnp.tile(bias, 8) if stride == 1 else bias)
+    return out
+
+
+def s2d_conv1x1(xb: jax.Array, w: jax.Array, packing: str = "a",
+                stride: int = 1, bias: jax.Array | None = None) -> jax.Array:
+    """1x1x1 conv in the block domain (block-diagonal over positions;
+    stride-1 is packing-blind and preserves the input packing).
+
+    stride 2 samples even voxels — slot (0,0,0) of aligned packing, slot
+    (1,1,1) of shifted packing — and exits to the half-resolution voxel grid.
+    """
+    w = w.reshape(w.shape[-2], w.shape[-1])
+    b, d, h, wd, c8 = xb.shape
+    ci = w.shape[0]
+    v = xb.reshape(b, d, h, wd, 8, ci)
+    if stride == 2:
+        if packing == "a":
+            out = v[..., 0, :] @ w  # slot (0,0,0) = even voxels
+        else:
+            # slot (1,1,1) = even voxels; last block per axis holds voxel 2n
+            # (out of range) — drop it
+            out = v[:, :-1, :-1, :-1, 7, :] @ w
+        if bias is not None:
+            out = out + bias
+        return out
+    out = jnp.einsum("...pi,io->...po", v, w).reshape(b, d, h, wd, 8 * w.shape[1])
+    if bias is not None:
+        out = out + jnp.tile(bias, 8)
+    return out
+
+
+def _shifted_interior_mask(spatial, dtype) -> jax.Array:
+    """(d, h, w, 8, 1) 0/1 mask of in-range voxels of a shifted tensor.
+
+    Per axis, (block 0, slot 0) is voxel -1 and (block n, slot 1) is voxel 2n
+    — both out of range. Constant-folded by XLA."""
+    axes = []
+    for n in spatial:
+        m = np.ones((n, 2), np.float32)
+        m[0, 0] = 0.0
+        m[n - 1, 1] = 0.0
+        axes.append(m)
+    md, mh, mw = axes
+    full = np.einsum("ds,ht,wu->dhwstu", md, mh, mw).reshape(*spatial, 8, 1)
+    return jnp.asarray(full, dtype)
+
+
+def s2d_group_norm(xb: jax.Array, scale: jax.Array, bias: jax.Array,
+                   num_groups: int, eps: float = 1e-5,
+                   packing: str = "a") -> jax.Array:
+    """GroupNorm over the underlying voxel tensor, computed in block packing.
+
+    The 2x2x2 positions are spatial, so statistics reduce over
+    (blocks, positions, channels-in-group) — the identical element set as the
+    voxel-domain GroupNorm (f32 stats, matching ops/norm.py). For shifted
+    packing, the out-of-range boundary slabs are excluded from the statistics
+    (two-pass masked moments) and the output is zeroed there, restoring the
+    voxel conv's 'SAME' zero padding for the next conv.
+    """
+    b = xb.shape[0]
+    c = xb.shape[-1] // 8
+    cpg = c // num_groups
+    spatial = xb.shape[1:4]
+    v = xb.reshape(b, -1, 8, num_groups, cpg).astype(jnp.float32)
+    if packing == "s":
+        mask = _shifted_interior_mask(spatial, jnp.float32)
+        mf = mask.reshape(1, -1, 8, 1, 1)
+        n_true = float(np.prod([2 * (s - 1) for s in spatial])) * cpg
+        v = v * mf
+        mean = jnp.sum(v, axis=(1, 2, 4), keepdims=True) / n_true
+        dev = (v - mean) * mf
+        var = jnp.sum(jnp.square(dev), axis=(1, 2, 4), keepdims=True) / n_true
+        v = (dev * lax.rsqrt(var + eps)).astype(xb.dtype)  # zero at slabs
+        v = v * scale.reshape(num_groups, cpg).astype(xb.dtype)
+        v = v + bias.reshape(num_groups, cpg).astype(xb.dtype) * mf.astype(xb.dtype)
+    else:
+        mean = jnp.mean(v, axis=(1, 2, 4), keepdims=True)
+        var = jnp.mean(jnp.square(v - mean), axis=(1, 2, 4), keepdims=True)
+        v = ((v - mean) * lax.rsqrt(var + eps)).astype(xb.dtype)
+        v = v * scale.reshape(num_groups, cpg).astype(xb.dtype)
+        v = v + bias.reshape(num_groups, cpg).astype(xb.dtype)
+    return v.reshape(b, *spatial, 8 * c)
+
+
+def s2d_upsample_trilinear(x: jax.Array, packing: str = "a") -> jax.Array:
+    """x2 trilinear upsample (align_corners=False, clamped edges) emitted
+    directly as a block tensor — no full-resolution intermediate.
+
+    packing='a': (B, n1, n2, n3, C) -> aligned (B, n1, n2, n3, 8C).
+    packing='s': -> shifted (B, n1+1, n2+1, n3+1, 8C) with ZERO boundary
+    slabs (ready for an s2a conv).
+
+    Per axis, output parity 0 sits at source position j - 0.25 and parity 1
+    at j + 0.25, each an elementwise blend of the source with its
+    edge-clamped shift. Matches ops/resize.upsample_trilinear
+    (reference unet3D.py:963-965).
+    """
+    v = x
+    for ax in range(1, 4):
+        n = v.shape[ax]
+        first = lax.slice_in_dim(v, 0, 1, axis=ax)
+        last = lax.slice_in_dim(v, n - 1, n, axis=ax)
+        lo = jnp.concatenate([first, lax.slice_in_dim(v, 0, n - 1, axis=ax)], axis=ax)
+        hi = jnp.concatenate([lax.slice_in_dim(v, 1, n, axis=ax), last], axis=ax)
+        p0 = 0.25 * lo + 0.75 * v
+        p1 = 0.75 * v + 0.25 * hi
+        if packing == "s":
+            # shifted block m = voxels {2m-1, 2m}: slot0 = parity1 at m-1
+            z = jnp.zeros_like(lax.slice_in_dim(p1, 0, 1, axis=ax))
+            s0 = jnp.concatenate([z, p1], axis=ax)
+            s1 = jnp.concatenate([p0, z], axis=ax)
+            v = jnp.stack([s0, s1], axis=3 + ax)
+        else:
+            v = jnp.stack([p0, p1], axis=3 + ax)
+    b, d, h, w = v.shape[0], v.shape[1], v.shape[2], v.shape[3]
+    return v.reshape(b, d, h, w, 8 * x.shape[-1])
