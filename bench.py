@@ -36,6 +36,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from __graft_entry__ import _enable_compile_cache
+
+    _enable_compile_cache()
+
     from multimodal_pl_tpu.infer.sliding import (
         SlidingWindowPredictor,
         make_window_grid,

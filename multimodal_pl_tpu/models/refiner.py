@@ -13,23 +13,39 @@ from typing import Sequence
 
 import flax.linen as nn
 
-from multimodal_pl_tpu.models.blocks import GNReLUConv, ResStage, WSConv3d
+from multimodal_pl_tpu.models.blocks import GNReLUConv, ResStage, WSConv3d, WSConv3dS2D
 from multimodal_pl_tpu.ops.resize import upsample_trilinear
+from multimodal_pl_tpu.ops.s2d import (
+    depth_to_space,
+    s2d_upsample_trilinear,
+    space_to_depth,
+)
 
 
 class RefinerUNet3D(nn.Module):
+    """s2d=True (default, even spatial dims) computes the two full-resolution
+    touch points — the stride-2 stem (in_channel=2 pads the TPU lane dim 64x
+    as a voxel conv) and the final x2 logits upsample — in the space-to-depth
+    block domain; identical params and math (tests/test_s2d.py)."""
+
     layers: Sequence[int] = (1, 1, 1, 1, 1)
     num_classes: int = 2
     weight_std: bool = True
     init_filter: int = 24
     in_channel: int = 2
+    s2d: bool = True
 
     @nn.compact
     def __call__(self, x):
         f = self.init_filter
         ws = self.weight_std
+        use_s2d = self.s2d and all(int(s) % 2 == 0 for s in x.shape[1:4])
 
-        x = WSConv3d(f, stride=2, padding=1, weight_std=ws, name="conv0")(x)
+        if use_s2d:
+            x = WSConv3dS2D(f, stride=2, weight_std=ws, packing="a",
+                            name="conv0")(space_to_depth(x))
+        else:
+            x = WSConv3d(f, stride=2, padding=1, weight_std=ws, name="conv0")(x)
         x = WSConv3d(f, stride=1, padding=1, weight_std=ws, name="conv1")(x)
 
         x = ResStage(f, self.layers[0], stride=1, group=4, weight_std=ws, name="layer0")(x)
@@ -54,4 +70,6 @@ class RefinerUNet3D(nn.Module):
         x = ResStage(f, 1, stride=1, group=4, weight_std=ws, name="x1_resb")(x)
 
         logits = GNReLUConv(self.num_classes, num_groups=f // 4, name="precls")(x)
+        if use_s2d:
+            return depth_to_space(s2d_upsample_trilinear(logits, packing="a"))
         return upsample_trilinear(logits, 2)

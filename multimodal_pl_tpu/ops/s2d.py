@@ -85,12 +85,15 @@ def _tap_map_s1() -> np.ndarray:
     return t
 
 
-def _tap_map_s2() -> np.ndarray:
-    """Stride-2 from SHIFTED input: output voxel j reads window voxels k
-    (window = shifted blocks j, j+1 = voxels 2j-1..2j+2)."""
+def _tap_map_s2(packing: str) -> np.ndarray:
+    """Stride-2 tap map. From SHIFTED input the window is blocks {j, j+1} =
+    voxels 2j-1..2j+2 (tap k at window voxel k); from ALIGNED input with conv
+    lo-padding 1 the window covers voxels 2j-2..2j+1 (tap k at window voxel
+    k+1)."""
     t = np.zeros((3, 2, 2), np.float32)
     for k in range(3):
-        t[k, k // 2, k % 2] = 1.0
+        r = k if packing == "s" else k + 1
+        t[k, r // 2, r % 2] = 1.0
     return t
 
 
@@ -103,11 +106,11 @@ def assemble_kernel_s1(w: jax.Array) -> jax.Array:
     return wp.reshape(2, 2, 2, 8 * ci, 8 * co)
 
 
-def assemble_kernel_s2(w: jax.Array) -> jax.Array:
-    """(3,3,3,ci,co) -> (2,2,2,8ci,co) stride-2 kernel (shifted input ->
+def assemble_kernel_s2(w: jax.Array, packing: str = "s") -> jax.Array:
+    """(3,3,3,ci,co) -> (2,2,2,8ci,co) stride-2 kernel (block input ->
     half-resolution voxel output)."""
     ci, co = w.shape[3], w.shape[4]
-    t = jnp.asarray(_tap_map_s2(), w.dtype)
+    t = jnp.asarray(_tap_map_s2(packing), w.dtype)
     wp = jnp.einsum("abcio,ams,bnt,clu->mnlstuio", w, t, t, t)
     return wp.reshape(2, 2, 2, 8 * ci, co)
 
@@ -117,15 +120,14 @@ def s2d_conv3x3(xb: jax.Array, w: jax.Array, packing: str,
     """Exact 3x3x3 pad-1 conv in the block domain; zero data movement.
 
     packing: the INPUT packing, 'a' (aligned) or 's' (shifted). stride 1
-    flips the packing ('a'->'s', 's'->'a'); stride 2 requires shifted input
+    flips the packing ('a'->'s', 's'->'a'); stride 2 accepts either packing
     and returns a half-resolution voxel tensor. Shifted inputs must have zero
     (or masked-dead) boundary slabs — `s2d_group_norm(packing='s')` and
     `space_to_depth_shifted` guarantee this.
     """
     if stride == 2:
-        assert packing == "s", "stride-2 conv consumes shifted packing"
-        wp = assemble_kernel_s2(w).astype(xb.dtype)
-        pad = [(0, 0)] * 3
+        wp = assemble_kernel_s2(w, packing).astype(xb.dtype)
+        pad = [(0, 0)] * 3 if packing == "s" else [(1, 0)] * 3
     else:
         wp = assemble_kernel_s1(w).astype(xb.dtype)
         pad = [(1, 1)] * 3 if packing == "a" else [(0, 0)] * 3

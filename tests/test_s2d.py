@@ -87,6 +87,33 @@ def test_s2d_conv3x3_from_shifted_matches_voxel(rng, stride):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+def test_s2d_conv3x3_stride2_from_aligned_matches_voxel(rng):
+    """Aligned input, stride 2 -> half-resolution voxel output (refiner stem)."""
+    x = jnp.asarray(rng.standard_normal((2, 4, 6, 8, 2)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 2, 5)) * 0.2, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(5), jnp.float32)
+    ref = conv3d(x, w, stride=2, padding=1, bias=bias)
+    out = s2d_conv3x3(space_to_depth(x), w, packing="a", stride=2, bias=bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_refiner_s2d_parity(rng):
+    from multimodal_pl_tpu.models import RefinerUNet3D
+    # refiner geometry needs >=32 voxels per axis (5 stride-2 levels)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 32, 2)), jnp.float32)
+    m_v = RefinerUNet3D(s2d=False)
+    m_b = RefinerUNet3D(s2d=True)
+    params = m_v.init(jax.random.PRNGKey(0), x)
+    params_b = m_b.init(jax.random.PRNGKey(0), x)
+    chk = jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, params_b)
+    del chk
+    ov, ob = np.asarray(m_v.apply(params, x)), np.asarray(m_b.apply(params, x))
+    err = np.max(np.abs(ov - ob)) / max(1.0, np.max(np.abs(ov)))
+    assert err < 3e-2, f"refiner s2d parity: {err:.2e}"
+
+
 def test_a2s_then_s2a_composes(rng):
     """Two chained convs across an (exactly zeroed) shifted intermediate ==
     two voxel convs — the NoBottleneck inner pattern."""
