@@ -59,16 +59,20 @@ def main():
 
     rng = np.random.default_rng(0)
     vol = rng.standard_normal(VOL).astype(np.float32)
+    vols = [rng.standard_normal(VOL).astype(np.float32) for _ in range(REPS)]
     n_windows = len(make_window_grid(VOL, TILE))
 
     # ---- batched XLA scan path (bf16 compute / f32 blend: the shipping
-    # TPU inference config; the naive loop below runs the reference's f32) ----
+    # TPU inference config; the naive loop below runs the reference's f32).
+    # Volumes ship bf16 (bit-identical to f32-then-cast), pad on device, and
+    # predict_iter overlaps the next volume's transfer with compute — the
+    # steady-state streaming throughput of a real evaluation pass. ----
     predictor = SlidingWindowPredictor(fwd, TILE, NC, window_batch=4,
                                        compute_dtype=jnp.bfloat16)
     _sync(predictor(vol))  # compile
     t0 = time.time()
-    for _ in range(REPS):
-        _sync(predictor(vol))
+    for out in predictor.predict_iter(vols):
+        _sync(out)
     fast_dt = (time.time() - t0) / REPS
     fast_vps = 1.0 / fast_dt
 

@@ -134,9 +134,18 @@ def main(argv=None):
     with open(csv_path, "w", newline="") as f:
         writer = csv.writer(f)
         writer.writerow(["case"] + [f"organ{i}" for i in range(nfg)])
-        for i in range(len(ds)):
-            s = ds[i]
-            logits = predictor(s.image[..., 0])
+        # stream cases through the prefetching predictor: case i+1's disk
+        # read + preprocess + host->device copy overlap case i's compute
+        pending: list = []
+
+        def _volumes():
+            for i in range(len(ds)):
+                s = ds[i]
+                pending.append(s)
+                yield s.image[..., 0]
+
+        for logits in predictor.predict_iter(_volumes()):
+            s = pending.pop(0)
             if args.use_atlas_threshold and atlas is not None:
                 catlas_dhw1 = jnp.moveaxis(jnp.asarray(s.catlas), 0, -1)[None]
                 dice, senc, spec = organ_scores_atlas(

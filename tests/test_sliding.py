@@ -77,6 +77,33 @@ def test_bucket_padding_is_exact(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+def test_predict_iter_matches_call(rng):
+    # the prefetching streaming path must give the exact same outputs as the
+    # one-shot path, in order, including across different volume shapes
+    tile = (16, 24, 24)
+    pred = SlidingWindowPredictor(_toy_apply, tile, 3, window_batch=2, bucket=(8, 8, 8))
+    vols = [rng.standard_normal(s).astype(np.float32)
+            for s in [(24, 40, 40), (20, 30, 30), (24, 40, 40)]]
+    got = [np.asarray(o) for o in pred.predict_iter(vols)]
+    want = [np.asarray(pred(v)) for v in vols]
+    assert len(got) == len(vols)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
+def test_transfer_dtype_bitmatches_device_cast(rng):
+    # shipping the volume bf16 must equal shipping f32 and casting on device
+    # (tiles are cast to compute_dtype either way; blend stays f32)
+    vol = rng.standard_normal((20, 30, 30)).astype(np.float32)
+    tile = (16, 24, 24)
+    a = SlidingWindowPredictor(_toy_apply, tile, 3, bucket=(4, 4, 4),
+                               compute_dtype=jnp.bfloat16)(vol)
+    b = SlidingWindowPredictor(_toy_apply, tile, 3, bucket=(4, 4, 4),
+                               compute_dtype=jnp.bfloat16,
+                               transfer_dtype=jnp.float32)(vol)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_tta_symmetric_input(rng):
     # for a flip-symmetric toy net, TTA must equal the plain forward
     vol = rng.standard_normal((16, 24, 24)).astype(np.float32)
