@@ -92,20 +92,29 @@ def refine_loss(
     labels: jax.Array,
     organ_weights: jax.Array,
     aug_mask: int = 1,
+    organ_ids: jax.Array | None = None,
 ) -> jax.Array:
     """The reference ``get_loss_refine`` (losses.py:46-62), vectorized.
 
-    refiner_logits: (C-1, D, H, W, 2) — one binary head per organ; labels:
+    refiner_logits: (L, D, H, W, 2) — one binary head per organ; labels:
     (B, D, H, W) supervised label volume (sample 0 is used); organ_weights:
-    (C-1,) 0/1 == membership of tlist. aug_mask>1 multiplies the loss, which
+    (L,) 0/1 == membership of tlist. aug_mask>1 multiplies the loss, which
     equals the reference's duplicated-input sum because mask_aug makes exact
     copies (utils.py:76-114) and the refiner is deterministic.
+
+    organ_ids: (L,) 1-based label id of each row. Defaults to 1..L (the
+    all-organ layout); the train step passes the gathered supervised-organ
+    ids so the refiner's gradient pass only runs on tlist rows, exactly as
+    the reference indexes ``preds[tlist]`` (train:277) instead of masking a
+    full-organ batch.
 
     Per organ: EDiceLoss_full(2) with uce=False == mean over both classes of
     softmax dice vs the binary (label == organ) target.
     """
     probs = jax.nn.softmax(refiner_logits.astype(jnp.float32), axis=-1)  # (L, D, H, W, 2)
-    target1 = (labels[0][None] == jnp.arange(1, refiner_logits.shape[0] + 1)[:, None, None, None])
+    if organ_ids is None:
+        organ_ids = jnp.arange(1, refiner_logits.shape[0] + 1)
+    target1 = (labels[0][None] == organ_ids[:, None, None, None])
     target1 = target1.astype(jnp.float32)                                 # (L, D, H, W)
     onehot = jnp.stack([1.0 - target1, target1], axis=-1)                 # (L, D, H, W, 2)
     axes = (1, 2, 3)

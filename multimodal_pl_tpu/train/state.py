@@ -49,6 +49,10 @@ class StepConfig:
     weight_decay: float = flax.struct.field(pytree_node=False, default=1e-4)
     disc_lr: float = flax.struct.field(pytree_node=False, default=1e-4)
     token_alpha: float = flax.struct.field(pytree_node=False, default=0.01)
+    # static batch size of the refiner's gradient pass: tlist rows (supervised
+    # & labeled-modality organs) are gathered up front, at most one per AMOS
+    # case (supervise_mask.csv), so 2 covers the data with augmask headroom
+    refine_grad_organs: int = flax.struct.field(pytree_node=False, default=2)
     train_refiner: bool = flax.struct.field(pytree_node=False, default=True)
     remat: bool = flax.struct.field(pytree_node=False, default=False)
     pretrain_epoch: int = flax.struct.field(pytree_node=False, default=20)
