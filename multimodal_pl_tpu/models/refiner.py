@@ -13,20 +13,36 @@ from typing import Sequence
 
 import flax.linen as nn
 
-from multimodal_pl_tpu.models.blocks import GNReLUConv, ResStage, WSConv3d, WSConv3dS2D
+from multimodal_pl_tpu.models.blocks import (
+    GNReLUConv,
+    GNReLUConvS2D,
+    ResStage,
+    ResStageS2D,
+    WSConv3d,
+    WSConv3dS2D,
+)
 from multimodal_pl_tpu.ops.resize import upsample_trilinear
 from multimodal_pl_tpu.ops.s2d import (
     depth_to_space,
+    depth_to_space_shifted,
     s2d_upsample_trilinear,
     space_to_depth,
 )
 
 
 class RefinerUNet3D(nn.Module):
-    """s2d=True (default, even spatial dims) computes the two full-resolution
-    touch points — the stride-2 stem (in_channel=2 pads the TPU lane dim 64x
-    as a voxel conv) and the final x2 logits upsample — in the space-to-depth
-    block domain; identical params and math (tests/test_s2d.py)."""
+    """s2d=True (default) computes the full- AND half-resolution levels in
+    the space-to-depth block domain; identical params and math
+    (tests/test_s2d.py::test_refiner_s2d_parity).
+
+    Layout rationale: the refiner's C=init_filter=24 stages pad the TPU
+    128-lane minor dim 5.3x. The stride-2 stem enters from full-res aligned
+    blocks; the half-res level (conv1, layer0, x1_resb, precls) then runs in
+    ITS OWN block domain at 8*24=192 channels — the same encoder/x1-decoder
+    pattern as UNet3DFEAM, one level down. Full-res s2d needs even input
+    dims; the inner level additionally needs them divisible by 4 (falls back
+    per-level otherwise).
+    """
 
     layers: Sequence[int] = (1, 1, 1, 1, 1)
     num_classes: int = 2
@@ -40,17 +56,29 @@ class RefinerUNet3D(nn.Module):
         f = self.init_filter
         ws = self.weight_std
         use_s2d = self.s2d and all(int(s) % 2 == 0 for s in x.shape[1:4])
+        use_s2d2 = self.s2d and all(int(s) % 4 == 0 for s in x.shape[1:4])
 
         if use_s2d:
             x = WSConv3dS2D(f, stride=2, weight_std=ws, packing="a",
                             name="conv0")(space_to_depth(x))
         else:
             x = WSConv3d(f, stride=2, padding=1, weight_std=ws, name="conv0")(x)
-        x = WSConv3d(f, stride=1, padding=1, weight_std=ws, name="conv1")(x)
 
-        x = ResStage(f, self.layers[0], stride=1, group=4, weight_std=ws, name="layer0")(x)
-        skip0 = x
-        x = ResStage(f * 2, self.layers[1], stride=2, group=4, weight_std=ws, name="layer1")(x)
+        if use_s2d2:
+            xb = WSConv3dS2D(f, stride=1, weight_std=ws, packing="a",
+                             name="conv1")(space_to_depth(x))
+            xb = ResStageS2D(f, self.layers[0], stride=1, group=4, weight_std=ws,
+                             name="layer0")(xb)
+            skip0 = xb  # shifted block tensor
+            x = ResStageS2D(f * 2, self.layers[1], stride=2, group=4, weight_std=ws,
+                            name="layer1")(xb)
+        else:
+            x = WSConv3d(f, stride=1, padding=1, weight_std=ws, name="conv1")(x)
+            x = ResStage(f, self.layers[0], stride=1, group=4, weight_std=ws,
+                         name="layer0")(x)
+            skip0 = x
+            x = ResStage(f * 2, self.layers[1], stride=2, group=4, weight_std=ws,
+                         name="layer1")(x)
         skip1 = x
         x = ResStage(f * 4, self.layers[2], stride=2, group=4, weight_std=ws, name="layer2")(x)
         skip2 = x
@@ -66,10 +94,18 @@ class RefinerUNet3D(nn.Module):
         x = ResStage(f * 2, 1, stride=1, group=4, weight_std=ws, name="x4_resb")(x)
         x = upsample_trilinear(x, 2) + skip1
         x = ResStage(f, 1, stride=1, group=4, weight_std=ws, name="x2_resb")(x)
-        x = upsample_trilinear(x, 2) + skip0
-        x = ResStage(f, 1, stride=1, group=4, weight_std=ws, name="x1_resb")(x)
 
-        logits = GNReLUConv(self.num_classes, num_groups=f // 4, name="precls")(x)
+        if use_s2d2:
+            xb = s2d_upsample_trilinear(x, packing="s") + skip0
+            xb = ResStageS2D(f, 1, stride=1, group=4, weight_std=ws, name="x1_resb")(xb)
+            logits = depth_to_space_shifted(
+                GNReLUConvS2D(self.num_classes, num_groups=f // 4, packing="s",
+                              name="precls")(xb))
+        else:
+            x = upsample_trilinear(x, 2) + skip0
+            x = ResStage(f, 1, stride=1, group=4, weight_std=ws, name="x1_resb")(x)
+            logits = GNReLUConv(self.num_classes, num_groups=f // 4, name="precls")(x)
+
         if use_s2d:
             return depth_to_space(s2d_upsample_trilinear(logits, packing="a"))
         return upsample_trilinear(logits, 2)
