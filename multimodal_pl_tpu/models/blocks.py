@@ -16,6 +16,7 @@ from multimodal_pl_tpu.ops.conv import conv3d, standardize_kernel
 from multimodal_pl_tpu.ops.s2d import (
     s2d_conv1x1,
     s2d_conv3x3,
+    s2d_conv4x4,
     s2d_group_norm,
 )
 
@@ -184,6 +185,27 @@ class WSConv3dS2D(nn.Module):
             return s2d_conv1x1(xb, w, packing=self.packing, stride=self.stride, bias=bias)
         assert (kd, kh, kw) == (3, 3, 3), "s2d path supports k3/pad1 and k1/pad0 only"
         return s2d_conv3x3(xb, w, packing=self.packing, stride=self.stride, bias=bias)
+
+
+class WSConv4x4S2D(nn.Module):
+    """k4 stride-2 pad-1 conv computed from ALIGNED block input (the
+    discriminator pyramid stem). Param names/shapes identical to
+    ``WSConv3d(kernel=(4,4,4), stride=2, padding=1)`` — voxel-format
+    (4,4,4,ci,co) kernel, assembled into the block-domain (3,3,3,8ci,co)
+    form at call time."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, xb):
+        ci = xb.shape[-1] // 8
+        w = self.param("kernel", torch_init, (4, 4, 4, ci, self.features), jnp.float32)
+        bias = None
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+            bias = bias.astype(xb.dtype)
+        return s2d_conv4x4(xb, w.astype(xb.dtype), bias=bias)
 
 
 class GroupNormS2D(nn.Module):

@@ -12,8 +12,9 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from multimodal_pl_tpu.models.blocks import WSConv3d
+from multimodal_pl_tpu.models.blocks import WSConv3d, WSConv4x4S2D
 from multimodal_pl_tpu.models.unet3d import _Linear
+from multimodal_pl_tpu.ops.s2d import s2d_pack
 
 
 def _lrelu(x):
@@ -32,6 +33,22 @@ def _conv(features, kernel=4, stride=2, padding=1, name=None):
     )
 
 
+def _stem(features, x, name="block1"):
+    """block1 over the (organ-prob, atlas) pair. Accepts either a voxel
+    tensor (B, D, H, W, C) or a tuple of C planes (B, D, H, W).
+
+    The tuple form is the TPU fast path: a full-resolution C=2 channels-last
+    tensor pads the 128-lane minor dim 64x, so reading it costs ~64x its
+    logical bytes; packing the well-tiled planes straight into the s2d block
+    domain and running the k4-s2 conv there (identical params/math,
+    tests/test_s2d.py) avoids ever materializing it."""
+    if isinstance(x, (tuple, list)):
+        if all(int(s) % 2 == 0 for s in x[0].shape[1:4]):
+            return _lrelu(WSConv4x4S2D(features, name=name)(s2d_pack(list(x))))
+        x = jnp.stack(list(x), axis=-1)
+    return _lrelu(_conv(features, name=name)(x))
+
+
 class NormStyleDiscriminator(nn.Module):
     """norm_style_discriminator_output (unet3D.py:1907-1947): plain pyramid ->
     global average pool -> Linear(ndf*8, 2)."""
@@ -40,7 +57,7 @@ class NormStyleDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = _lrelu(_conv(self.ndf, name="block1")(x))
+        x = _stem(self.ndf, x, name="block1")
         x = _lrelu(_conv(self.ndf * 2, name="block2")(x))
         x = _lrelu(_conv(self.ndf * 4, name="block3")(x))
         x = _lrelu(_conv(self.ndf * 8, name="block4a")(x))
@@ -60,7 +77,7 @@ class DeepStyleDiscriminator(nn.Module):
     def __call__(self, x, attn_maps):
         # attn_maps: [scale8 (B,8d,...), scale4, scale2] per-organ single-channel maps
         ndf = self.ndf
-        x = _lrelu(_conv(ndf, name="block1")(x))
+        x = _stem(ndf, x, name="block1")
         xm1 = _lrelu(_conv(ndf, kernel=3, stride=1, padding=1, name="min_block1")(attn_maps[2]))
         x = _lrelu(_conv(ndf * 2, name="block2")(jnp.concatenate([x, xm1], -1)))
         xm2 = _lrelu(_conv(ndf * 2, kernel=3, stride=1, padding=1, name="min_block2")(attn_maps[1]))

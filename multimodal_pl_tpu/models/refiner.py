@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from multimodal_pl_tpu.models.blocks import (
     GNReLUConv,
@@ -25,6 +26,7 @@ from multimodal_pl_tpu.ops.resize import upsample_trilinear
 from multimodal_pl_tpu.ops.s2d import (
     depth_to_space,
     depth_to_space_shifted,
+    s2d_pack,
     s2d_upsample_trilinear,
     space_to_depth,
 )
@@ -53,15 +55,25 @@ class RefinerUNet3D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        """x: (B, D, H, W, in_channel) voxel tensor, or a tuple of in_channel
+        planes (B, D, H, W). The tuple form packs the well-tiled planes
+        straight into the block domain (ops/s2d.s2d_pack) — a full-res C=2
+        channels-last tensor pads the 128-lane minor dim 64x, so never
+        materializing it saves ~64x its logical read bytes."""
         f = self.init_filter
         ws = self.weight_std
-        use_s2d = self.s2d and all(int(s) % 2 == 0 for s in x.shape[1:4])
-        use_s2d2 = self.s2d and all(int(s) % 4 == 0 for s in x.shape[1:4])
+        planes = x if isinstance(x, (tuple, list)) else None
+        spatial = (planes[0] if planes is not None else x).shape[1:4]
+        use_s2d = self.s2d and all(int(s) % 2 == 0 for s in spatial)
+        use_s2d2 = self.s2d and all(int(s) % 4 == 0 for s in spatial)
 
         if use_s2d:
+            xb = s2d_pack(list(planes)) if planes is not None else space_to_depth(x)
             x = WSConv3dS2D(f, stride=2, weight_std=ws, packing="a",
-                            name="conv0")(space_to_depth(x))
+                            name="conv0")(xb)
         else:
+            if planes is not None:
+                x = jnp.stack(list(planes), axis=-1)
             x = WSConv3d(f, stride=2, padding=1, weight_std=ws, name="conv0")(x)
 
         if use_s2d2:

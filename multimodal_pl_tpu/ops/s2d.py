@@ -62,6 +62,24 @@ def depth_to_space(x: jax.Array) -> jax.Array:
     return x.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(b, 2 * d, 2 * h, 2 * w, c)
 
 
+def s2d_pack(planes) -> jax.Array:
+    """Build an ALIGNED block tensor directly from C single-channel planes
+    (each (B, D, H, W)) without materializing the channels-last voxel tensor.
+
+    Why: a full-resolution (B, D, H, W, C) tensor with tiny C (the refiner's
+    and discriminator's 2-channel (organ-prob, atlas) inputs, C=2) pads the
+    TPU 128-lane minor dim 64x — every read of it costs ~64x its logical
+    bytes. The planes themselves are well-tiled (W minor); one fused
+    stack+transpose emits the (B, D/2, H/2, W/2, 8C) block tensor
+    (position-major channels, = space_to_depth(stack(planes, -1))).
+    """
+    b, d, h, w = planes[0].shape
+    x = jnp.stack(planes, axis=-1)                       # (B, D, H, W, C)
+    x = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, len(planes))
+    return x.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+        b, d // 2, h // 2, w // 2, 8 * len(planes))
+
+
 def space_to_depth_shifted(x: jax.Array) -> jax.Array:
     """Voxel tensor -> SHIFTED packing (zero boundary slabs). Test/entry
     helper; inside the network shifted tensors are produced by a2s convs."""
@@ -104,6 +122,38 @@ def assemble_kernel_s1(w: jax.Array) -> jax.Array:
     t = jnp.asarray(_tap_map_s1(), w.dtype)
     wp = jnp.einsum("abcio,apms,bqnt,crlu->mnlstuipqro", w, t, t, t)
     return wp.reshape(2, 2, 2, 8 * ci, 8 * co)
+
+
+def _tap_map_k4s2() -> np.ndarray:
+    """k4 stride-2 pad-1 conv from ALIGNED blocks (discriminator pyramid
+    stems). Output voxel j reads voxels 2j-1..2j+2 = window blocks j-1..j+1
+    (k3 on the block grid, pad (1,1)): tap k sits at block (2j-1+k)//2 - j + 1,
+    slot (2j-1+k) % 2."""
+    t = np.zeros((4, 3, 2), np.float32)
+    for k in range(4):
+        v = k - 1  # voxel offset relative to 2j
+        t[k, (v + 2) // 2, (v + 2) % 2] = 1.0
+    return t
+
+
+def assemble_kernel_k4s2(w: jax.Array) -> jax.Array:
+    """(4,4,4,ci,co) voxel kernel -> (3,3,3,8ci,co) aligned-block stride-2
+    kernel (half-resolution voxel output)."""
+    ci, co = w.shape[3], w.shape[4]
+    t = jnp.asarray(_tap_map_k4s2(), w.dtype)
+    wp = jnp.einsum("abcio,ams,bnt,clu->mnlstuio", w, t, t, t)
+    return wp.reshape(3, 3, 3, 8 * ci, co)
+
+
+def s2d_conv4x4(xb: jax.Array, w: jax.Array, bias: jax.Array | None = None) -> jax.Array:
+    """Exact k4 stride-2 pad-1 voxel conv computed on ALIGNED blocks:
+    (B, n1, n2, n3, 8ci) -> (B, n1, n2, n3, co) half-resolution voxel tensor."""
+    wp = assemble_kernel_k4s2(w).astype(xb.dtype)
+    out = lax.conv_general_dilated(xb, wp, (1, 1, 1), [(1, 1)] * 3,
+                                   dimension_numbers=_DN)
+    if bias is not None:
+        out = out + bias
+    return out
 
 
 def assemble_kernel_s2(w: jax.Array, packing: str = "s") -> jax.Array:

@@ -92,21 +92,26 @@ def build_step_body(model, refiner, disc, cfg: StepConfig, axis_name: str | None
         # masking a full 13-organ batch cuts the refiner's backward 13/K-fold
         # (743 -> 628 ms/step at the production patch); the gather commutes
         # with the per-sample refiner, so the loss value is identical. ----
+        # (prob, atlas) channel pairs are passed as separate well-tiled
+        # planes — the models pack them straight into the s2d block domain
+        # (see RefinerUNet3D docstring; a full-res channels-last C=2 tensor
+        # pads the 128-lane dim 64x)
         probs0 = jax.nn.softmax(jax.lax.stop_gradient(logits32[0]), axis=-1)   # (D,H,W,C)
-        organ_probs = jnp.moveaxis(probs0[..., 1:], -1, 0)                     # (13,D,H,W)
-        rin = jnp.stack([organ_probs, catlas.astype(jnp.float32)], axis=-1)    # (13,D,H,W,2)
-        rin = rin.astype(cfg.compute_dtype)
+        organ_probs = jnp.moveaxis(probs0[..., 1:], -1, 0).astype(cfg.compute_dtype)
+        catlas_c = catlas.astype(cfg.compute_dtype)                            # (13,D,H,W)
 
         tlist_w = label_t * sup_mask[1:]                     # supervised & labeled-modality
         k = min(cfg.refine_grad_organs, nfg)
         sup_idx = jnp.argsort(-tlist_w)[:k]                  # tlist rows first; pad rows get weight 0
-        rlogits_sup = refiner.apply(rparams, rin[sup_idx]).astype(jnp.float32)
+        rlogits_sup = refiner.apply(
+            rparams, (organ_probs[sup_idx], catlas_c[sup_idx])
+        ).astype(jnp.float32)
         r_loss = refine_loss(rlogits_sup, cmask, tlist_w[sup_idx],
                              aug_mask=cfg.augmask, organ_ids=sup_idx + 1)
 
         # pseudo-label pass: all organs, no gradient (reference torch.no_grad)
         rlogits = refiner.apply(
-            jax.lax.stop_gradient(rparams), jax.lax.stop_gradient(rin)
+            jax.lax.stop_gradient(rparams), (organ_probs, catlas_c)
         ).astype(jnp.float32)
 
         seg = segmentation_loss(
@@ -119,19 +124,17 @@ def build_step_body(model, refiner, disc, cfg: StepConfig, axis_name: str | None
         probs_g = jax.nn.softmax(logits32, axis=-1)
         flist_w = 1.0 - label_t
         dfrozen = jax.lax.stop_gradient(state.dparams)
+        organ_probs_g = jnp.moveaxis(probs_g[0, ..., 1:], -1, 0)               # (13,D,H,W)
+        din = (organ_probs_g.astype(cfg.compute_dtype), catlas_c)
         if cfg.deep_up:
-            organ_probs_g = jnp.moveaxis(probs_g[0, ..., 1:], -1, 0)           # (13,D,H,W)
-            din = jnp.stack([organ_probs_g, catlas.astype(jnp.float32)], -1)
-            d_out = disc.apply(dfrozen, din.astype(cfg.compute_dtype))
+            d_out = disc.apply(dfrozen, din)
             loss_d = _weighted_ce_const(d_out, flist_w, 1) * 1.0               # weights[3]
         else:
-            organ_probs_g = jnp.moveaxis(probs_g[0, ..., 1:], -1, 0)
-            din = jnp.stack([organ_probs_g, catlas.astype(jnp.float32)], -1)
             amaps = [
                 jnp.moveaxis(jax.nn.softmax(a.astype(jnp.float32), -1)[0], -1, 0)[..., None]
                 for a in attns
             ]
-            d_out = disc.apply(dfrozen, din.astype(cfg.compute_dtype), amaps)
+            d_out = disc.apply(dfrozen, din, amaps)
             loss_d = _weighted_ce_const(d_out, flist_w, 1)
 
         total = seg + r_loss + loss_d * cfg.weight_gan
@@ -143,13 +146,13 @@ def build_step_body(model, refiner, disc, cfg: StepConfig, axis_name: str | None
 
     def disc_loss_fn(dparams, aux, batch):
         """Discriminator CE on detached inputs over all organs (train:349-368)."""
-        catlas = batch["catlas"].astype(jnp.float32)
         label_t = batch["label_t"].astype(jnp.int32)
         probs = jax.nn.softmax(jax.lax.stop_gradient(aux["logits"]), axis=-1)
         organ_probs = jnp.moveaxis(probs[0, ..., 1:], -1, 0)
-        din = jnp.stack([organ_probs, catlas], -1)
+        din = (organ_probs.astype(cfg.compute_dtype),
+               batch["catlas"].astype(cfg.compute_dtype))
         if cfg.deep_up:
-            d_out = disc.apply(dparams, din.astype(cfg.compute_dtype))
+            d_out = disc.apply(dparams, din)
         else:
             amaps = [
                 jnp.moveaxis(
@@ -157,7 +160,7 @@ def build_step_body(model, refiner, disc, cfg: StepConfig, axis_name: str | None
                 )[..., None]
                 for a in aux["attns"]
             ]
-            d_out = disc.apply(dparams, din.astype(cfg.compute_dtype), amaps)
+            d_out = disc.apply(dparams, din, amaps)
         return smooth_cross_entropy(d_out, label_t), d_out
 
     def step(state: TrainState, batch, lr, weight_feature):

@@ -272,3 +272,57 @@ class TestModelParity:
         flat_v, _ = jax.flatten_util.ravel_pytree(g_v)
         flat_b, _ = jax.flatten_util.ravel_pytree(g_b)
         self._close(flat_b, flat_v, 3e-2, "grads")
+
+
+def test_s2d_pack_matches_stack(rng):
+    from multimodal_pl_tpu.ops.s2d import s2d_pack
+
+    a = jnp.asarray(rng.standard_normal((2, 4, 6, 8)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((2, 4, 6, 8)), jnp.float32)
+    ref = space_to_depth(jnp.stack([a, b], axis=-1))
+    np.testing.assert_array_equal(s2d_pack([a, b]), ref)
+
+
+def test_s2d_conv4x4_stride2_parity(rng):
+    from multimodal_pl_tpu.ops.s2d import s2d_conv4x4
+
+    x = jnp.asarray(rng.standard_normal((2, 6, 8, 10, 2)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((4, 4, 4, 2, 5)) * 0.2, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(5), jnp.float32)
+    ref = conv3d(x, w, stride=2, padding=[(1, 1)] * 3, bias=bias)
+    out = s2d_conv4x4(space_to_depth(x), w, bias=bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_discriminator_plane_tuple_parity(rng):
+    from multimodal_pl_tpu.models.discriminator import NormStyleDiscriminator
+
+    prob = jnp.asarray(rng.random((3, 8, 12, 16)), jnp.float32)
+    atlas = jnp.asarray(rng.random((3, 8, 12, 16)), jnp.float32)
+    x = jnp.stack([prob, atlas], axis=-1)
+    disc = NormStyleDiscriminator(ndf=8)
+    params = disc.init(jax.random.PRNGKey(0), x)
+    params_t = disc.init(jax.random.PRNGKey(0), (prob, atlas))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, params_t)
+    o_arr = np.asarray(disc.apply(params, x))
+    o_tup = np.asarray(disc.apply(params, (prob, atlas)))
+    np.testing.assert_allclose(o_tup, o_arr, rtol=1e-4, atol=1e-4)
+
+
+def test_refiner_plane_tuple_parity(rng):
+    from multimodal_pl_tpu.models import RefinerUNet3D
+
+    prob = jnp.asarray(rng.random((1, 32, 32, 32)), jnp.float32)
+    atlas = jnp.asarray(rng.random((1, 32, 32, 32)), jnp.float32)
+    x = jnp.stack([prob, atlas], axis=-1)
+    m = RefinerUNet3D()
+    params = m.init(jax.random.PRNGKey(0), x)
+    params_t = m.init(jax.random.PRNGKey(0), (prob, atlas))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, params_t)
+    o_arr = np.asarray(m.apply(params, x))
+    o_tup = np.asarray(m.apply(params, (prob, atlas)))
+    np.testing.assert_allclose(o_tup, o_arr, rtol=1e-5, atol=1e-5)
