@@ -72,6 +72,10 @@ def get_arguments() -> argparse.ArgumentParser:
                         "without it and runs 1.13x faster (565 vs 628 ms/step)")
     p.add_argument("--mesh", type=str, default="",
                    help="data-parallel mesh spec, e.g. 'data:8' (empty = single device)")
+    p.add_argument("--cache_data", type=str2bool, default=False,
+                   help="memoize prepared volumes (NIfTI read + atlas resize + "
+                        "pad/truncate) in host RAM — ~0.5 GB/case at the AMOS "
+                        "256x256x128 grid; random crops/augs still re-sample")
     return p
 
 
@@ -126,7 +130,8 @@ def main(argv=None):
     atlas = np.load(args.atlas_path) if os.path.exists(args.atlas_path) else None
     sup_csv = args.supervision_csv if os.path.exists(args.supervision_csv) else None
     train_ds = AMOSDataset(args.data_dir, crop_size=(d, h, w), usage="train",
-                           atlas=atlas, supervision_csv=sup_csv, seed=args.seed)
+                           atlas=atlas, supervision_csv=sup_csv, seed=args.seed,
+                           cache=args.cache_data)
     valid_ds = AMOSDataset(args.data_dir, crop_size=(d, h, w), usage="valid",
                            atlas=atlas, supervision_csv=sup_csv)
     print(f"{len(train_ds)} train / {len(valid_ds)} valid cases")

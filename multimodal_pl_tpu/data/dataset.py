@@ -153,6 +153,7 @@ class AMOSDataset:
         seed: int = 0,
         mirror: bool = False,
         scale: bool = False,
+        cache: bool = False,
     ):
         # Note: the reference dataset accepts scale/mirror flags but its final
         # __getitem__ never applies them (MOTSDataset.py:299-397) — the run
@@ -184,6 +185,12 @@ class AMOSDataset:
         if supervision is None and supervision_csv:
             supervision = load_supervision_csv(supervision_csv)
         self.supervision = supervision
+        # cache=True memoizes the crop-invariant prepared volumes (NIfTI read,
+        # atlas resize, trim/pad, intensity truncate) — the reference re-reads
+        # and re-resizes every sample (MOTSDataset.py:303-372, an I/O hot spot
+        # per SURVEY §3.3); random crops/augs still re-sample per access
+        self.cache = cache
+        self._cache: Dict[int, tuple] = {}
 
     def __len__(self):
         return len(self.files)
@@ -198,7 +205,11 @@ class AMOSDataset:
                 return self.supervision[key]
         return supervision_mask_for_case(case_id)
 
-    def __getitem__(self, index: int) -> Sample:
+    def _prepared(self, index: int):
+        """Crop-invariant per-case volumes: read, atlas-resize, trim, pad,
+        truncate (memoized when cache=True)."""
+        if self.cache and index in self._cache:
+            return self._cache[index]
         path = self.files[index]
         cid = case_id_of(path)
         image = read_nifti(path).data.astype(np.float32)
@@ -223,6 +234,13 @@ class AMOSDataset:
         catlas = pad_to(catlas, target)
 
         image = truncate_intensity(image, cid)
+        out = (cid, image, label, catlas)
+        if self.cache:
+            self._cache[index] = out
+        return out
+
+    def __getitem__(self, index: int) -> Sample:
+        cid, image, label, catlas = self._prepared(index)
 
         if self.usage == "train":
             b = int(self.rng.integers(0, label.shape[0] - self.crop_h))

@@ -282,3 +282,21 @@ class TestPreprocess:
         assert body is not None and body.sum() > 0
         zz = np.nonzero(body)[0]
         assert 3 <= zz.min() and zz.max() <= 16
+
+
+def test_dataset_cache_parity(synthetic_root):
+    """cache=True returns bit-identical samples and never mutates the memo."""
+    import numpy as np
+    from multimodal_pl_tpu.data.dataset import AMOSDataset
+
+    atlas = np.load(os.path.join(synthetic_root, "atlas_mm.npy"))
+    kw = dict(crop_size=(16, 24, 24), usage="train", atlas=atlas, seed=7)
+    ds_plain = AMOSDataset(os.path.join(synthetic_root, "imagesTr"), **kw)
+    ds_cache = AMOSDataset(os.path.join(synthetic_root, "imagesTr"), cache=True, **kw)
+    for _ in range(2):  # second pass hits the memo; same rng stream both sides
+        for i in range(len(ds_plain)):
+            a, b = ds_plain[i], ds_cache[i]
+            np.testing.assert_array_equal(a.image, b.image)
+            np.testing.assert_array_equal(a.label, b.label)
+            np.testing.assert_array_equal(a.catlas, b.catlas)
+            np.testing.assert_array_equal(a.sup_mask, b.sup_mask)
