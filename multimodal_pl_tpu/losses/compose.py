@@ -36,7 +36,7 @@ def segmentation_loss(
     deep_outs: Sequence[jax.Array],
     attns: Sequence[jax.Array],
     refiner_logits: jax.Array | None = None,
-    label_t: jax.Array | None = None,
+    label_d: jax.Array | None = None,
     weight_feature: jax.Array | float = 0.1,
     confidence: float = 0.10,
     aux_weight: float = 1.0,
@@ -47,8 +47,13 @@ def segmentation_loss(
     zeroed (cmask); sup_mask: (C,) 0/1; deep_outs: 3 deep-sup logits at 1/8,
     1/4, 1/2 scales; attns: 3 attention maps, full-size when deep_up
     (B, D, H, W, C-1); refiner_logits: (C-1, D, H, W, 2) raw refiner output
-    for every organ (or None during the pretrain phase); label_t: (C-1,)
-    modality flags (1 = organ style belongs to the labeled modality).
+    for every organ (or None during the pretrain phase); label_d: (C-1,)
+    per-case organ supervision bits (== sup_mask[1:]) — the pseudo-label
+    consistency term covers exactly the organs NOT supervised in this case.
+    (The reference's parameter is *named* label_t but the driver passes
+    label_d into it, train_amos_atlas_final.py:312 — the consistency term is
+    what trains the 12 per-case-unsupervised organs, so wiring the modality
+    vector here instead silently disables it for labeled-modality cases.)
 
     Returns the scalar loss.
     """
@@ -71,8 +76,8 @@ def segmentation_loss(
     confi = jnp.logical_or(rprob > (1.0 - confidence), rprob < confidence).astype(jnp.float32)
     confi1 = confi[..., 1]                                               # (13, D, H, W)
 
-    u = (1.0 - label_t.astype(jnp.float32))                              # unsupervised-modality organs
-    supcount = jnp.sum(label_t.astype(jnp.float32))
+    u = (1.0 - label_d.astype(jnp.float32))                              # per-case unsupervised organs
+    supcount = jnp.sum(label_d.astype(jnp.float32))
     denom = jnp.maximum(num_fg - supcount, 1.0)
 
     maps = list(attns) + [probs[..., 1:]]  # 4th entry: the softmax prediction itself

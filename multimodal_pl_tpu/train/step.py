@@ -117,7 +117,7 @@ def build_step_body(model, refiner, disc, cfg: StepConfig, axis_name: str | None
         seg = segmentation_loss(
             logits32, cmask, sup_mask, deeps, attns,
             refiner_logits=jax.lax.stop_gradient(rlogits),
-            label_t=label_t, weight_feature=weight_feature,
+            label_d=sup_mask[1:], weight_feature=weight_feature,
         )
 
         # ---- generator GAN term (discriminator frozen, train:323-347) ----
@@ -218,6 +218,7 @@ def build_step_body(model, refiner, disc, cfg: StepConfig, axis_name: str | None
 
         dice, _, _, _ = organ_scores(aux["logits"], batch["label"], nfg)
         rdice, _, _ = refiner_organ_scores(aux["rlogits"], batch["label"][:1], nfg)
+        supw = batch["sup_mask"][1:].astype(jnp.float32)
 
         metrics = {
             "loss": total,
@@ -226,6 +227,9 @@ def build_step_body(model, refiner, disc, cfg: StepConfig, axis_name: str | None
             "gan_g_loss": aux["gan_g_loss"],
             "disc_loss": d_loss,
             "train_dice_mean": jnp.mean(dice),
+            # dice restricted to this batch's supervised organs — the signal
+            # the partial-label loss actually trains (cf. reference val_Dice3)
+            "train_dice_sup": jnp.sum(dice * supw) / jnp.maximum(jnp.sum(supw), 1.0),
             "refiner_dice_mean": jnp.mean(rdice),
             "grads_finite": g_ok.astype(jnp.float32),
             "disc_grads_finite": d_ok.astype(jnp.float32),

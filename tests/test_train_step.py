@@ -141,3 +141,32 @@ def test_ws_standardize_f32_stats_under_bf16(rng):
     # bf16-stored result must agree with the f32 computation to bf16 precision
     np.testing.assert_allclose(np.asarray(got_bf16, np.float32), np.asarray(got_f32),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_step_seg_loss_composition(setup):
+    """Pin the fused step's seg_loss to the directly-composed reference loss,
+    including the pseudo-label branch keying on PER-CASE supervision
+    (label_d == sup_mask[1:], reference train:312) — regression for wiring
+    the modality vector there, which silently disables the consistency term
+    for labeled-modality cases."""
+    from multimodal_pl_tpu.losses.compose import segmentation_loss
+
+    cfg, state, step, batch = setup
+    model = UNet3DFEAM(num_classes=NC, weight_std=True, deep_up=True)
+    refiner = RefinerUNet3D(num_classes=2, weight_std=True, init_filter=24, in_channel=2)
+    wf = jnp.float32(0.08)
+
+    logits, attns, deeps, _, _ = model.apply(state.params, batch["image"], state.tokens)
+    logits32 = logits.astype(jnp.float32)
+    cmask = jnp.where(jnp.take(batch["sup_mask"], batch["label"]) > 0, batch["label"], 0)
+    probs0 = jax.nn.softmax(logits32[0], axis=-1)
+    organ_probs = jnp.moveaxis(probs0[..., 1:], -1, 0)
+    rlogits = refiner.apply(
+        state.rparams, (organ_probs, batch["catlas"])).astype(jnp.float32)
+    expected = float(segmentation_loss(
+        logits32, cmask, batch["sup_mask"], deeps, attns,
+        refiner_logits=rlogits, label_d=batch["sup_mask"][1:], weight_feature=wf,
+    ))
+
+    _, metrics = step(state, batch, jnp.float32(5e-4), wf)
+    np.testing.assert_allclose(float(metrics["seg_loss"]), expected, rtol=2e-5)
