@@ -41,8 +41,15 @@ def setup():
     return cfg, state, step, batch
 
 
+def _clone(tree):
+    """Fresh device buffers — the jitted step donates its input state, so
+    tests sharing the module-scoped fixture must not reuse its buffers."""
+    return jax.tree_util.tree_map(jnp.array, tree)
+
+
 def test_step_runs_and_updates(setup):
     cfg, state, step, batch = setup
+    state = _clone(state)
     tok_before = jax.tree_util.tree_map(np.asarray, state.tokens)
     p_before = np.asarray(
         state.params["params"]["encoder"]["conv1"]["kernel"]
@@ -152,6 +159,7 @@ def test_step_seg_loss_composition(setup):
     from multimodal_pl_tpu.losses.compose import segmentation_loss
 
     cfg, state, step, batch = setup
+    state = _clone(state)
     model = UNet3DFEAM(num_classes=NC, weight_std=True, deep_up=True)
     refiner = RefinerUNet3D(num_classes=2, weight_std=True, init_filter=24, in_channel=2)
     wf = jnp.float32(0.08)
