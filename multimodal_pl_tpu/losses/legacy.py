@@ -130,6 +130,85 @@ def tal_loss(logits: jax.Array, labels: jax.Array, task_ids: Sequence[int],
     return loss
 
 
+# task -> single foreground class id of the 6-class / 5-class heads
+# (loss.py:377-386 TAL6, :412-419 TAL5 — the MSD-subset experiment heads)
+MOTS_TASK_FG6: Dict[int, int] = {0: 1, 1: 2, 2: 3, 3: 4, 6: 5}
+MOTS_TASK_FG5: Dict[int, int] = {0: 1, 1: 2, 3: 3, 6: 4}
+
+
+def _tal_binary(logits: jax.Array, labels: jax.Array, task_ids: Sequence[int],
+                task_fg: Dict[int, int], num_classes: int) -> jax.Array:
+    """Shared body of TAL5/TAL6 (loss.py:388-406, :421-435): merge every
+    non-task class into channel 0, binarize the target, CE per sample, sum."""
+    loss = 0.0
+    for i, tid in enumerate(task_ids):
+        fg = task_fg[int(tid)]
+        bg = [c for c in range(num_classes) if c != fg]
+        merged = jnp.concatenate(
+            [jnp.sum(logits[i][..., bg], axis=-1, keepdims=True),
+             logits[i][..., fg:fg + 1]], axis=-1)
+        tgt = (labels[i] > 0).astype(jnp.int32)
+        loss = loss + softmax_cross_entropy(merged[None], tgt[None])
+    return loss
+
+
+def tal6_loss(logits: jax.Array, labels: jax.Array, task_ids: Sequence[int]) -> jax.Array:
+    """TAL6 (loss.py:373-406): 6-class head, one fg class per task."""
+    return _tal_binary(logits, labels, task_ids, MOTS_TASK_FG6, 6)
+
+
+def tal5_loss(logits: jax.Array, labels: jax.Array, task_ids: Sequence[int]) -> jax.Array:
+    """TAL5 (loss.py:408-435): 5-class head, one fg class per task."""
+    return _tal_binary(logits, labels, task_ids, MOTS_TASK_FG5, 5)
+
+
+def bce_no_bg5(logits: jax.Array, labels: jax.Array, task_ids: Sequence[int]) -> jax.Array:
+    """BCELossNoBG5 (loss.py:185-211): per sample, BCE-with-logits of the
+    task's single foreground channel vs (label == that class), averaged over
+    voxels, then over the batch."""
+    per_sample = []
+    for i, tid in enumerate(task_ids):
+        c = MOTS_TASK_FG5[int(tid)]
+        per_sample.append(bce_logits(logits[i][..., c],
+                                     (labels[i] == c).astype(jnp.float32)))
+    return jnp.mean(jnp.stack(per_sample))
+
+
+def tal_update_weights(voxel_sum: jax.Array, voxel_count: jax.Array,
+                       val, dim: int, voxels: int = 64 * 192 * 192):
+    """TAL.update_weights (loss.py:337-341): running per-class foreground
+    voxel frequency. Returns (voxel_sum, voxel_count, weights) where
+    weights[dim] = log(1 / avg_frequency[dim]); untouched classes keep
+    weight 1 (torch init). The reference writes ``self.weights[dim]`` on a
+    (1,12) tensor — an IndexError for dim>0 and a full-row overwrite for
+    dim==0; we implement the evident per-class intent."""
+    voxel_count = voxel_count.at[dim].add(1.0)
+    voxel_sum = voxel_sum.at[dim].add(jnp.asarray(val, jnp.float32) / voxels)
+    avg = voxel_sum / jnp.maximum(voxel_count, 1.0)
+    weights = jnp.where(voxel_count > 0, jnp.log(1.0 / avg), 1.0)
+    return voxel_sum, voxel_count, weights
+
+
+def tal_loss_weighted(logits: jax.Array, labels: jax.Array, task_ids: Sequence[int],
+                      weights: jax.Array, norm: bool = True,
+                      num_classes: int = 12) -> jax.Array:
+    """TAL forward with the frequency weights (loss.py:343-368, norm=True):
+    per-sample weighted CE over channels [0] + task_fg, weights normalized by
+    their mean. torch's weighted CE divides by the sum of the picked
+    per-voxel weights."""
+    w = weights / jnp.mean(weights) if norm else weights
+    loss = 0.0
+    for i, tid in enumerate(task_ids):
+        merged, fg = _marginal_inputs(logits[i], tid, num_classes)
+        tgt = _remap_targets(labels[i], tid)
+        wsel = jnp.concatenate([w[0:1], w[jnp.asarray(fg)]]).astype(jnp.float32)
+        logp = jax.nn.log_softmax(merged.astype(jnp.float32), axis=-1)
+        picked = -jnp.take_along_axis(logp, tgt[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        wv = wsel[tgt]
+        loss = loss + jnp.sum(picked * wv) / jnp.sum(wv)
+    return loss
+
+
 def marg_exc_loss(logits: jax.Array, labels: jax.Array, task_ids: Sequence[int],
                   num_classes: int = 12):
     """MargExcLoss (loss.py:437-497): returns (marg_dice, marg_ce, exc_dice, exc_ce)."""

@@ -18,7 +18,29 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+try:
+    # On axon hosts jax is pre-imported with JAX_PLATFORMS=axon by a
+    # sitecustomize, so the env pin above is a no-op there; backends are
+    # still lazy at this point, so a config update keeps the TPU backend
+    # from ever initializing during tests.
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+# Share the repo's persistent XLA compile cache: the heavyweight programs
+# (full train step at 64^3, its 8-device shard_map twin) are also compiled by
+# __graft_entry__'s driver entry points — cache hits make repeat suite runs
+# minutes instead of hours on this 1-vCPU host.
+_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:
+    pass
 
 import numpy as np
 import pytest

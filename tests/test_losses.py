@@ -23,9 +23,14 @@ from multimodal_pl_tpu.losses import (
     feature_ramp,
 )
 from multimodal_pl_tpu.losses.legacy import (
+    bce_no_bg5,
     binary_dice,
     dice_softmax_fg,
+    tal5_loss,
+    tal6_loss,
     tal_loss,
+    tal_loss_weighted,
+    tal_update_weights,
 )
 
 # ---------------------------------------------------------------------------
@@ -317,4 +322,85 @@ class TestLegacy:
         bg = [0, 3, 4, 5, 6, 7, 8, 9, 10, 11]
         merged = torch.cat([t[0, bg].sum(0, keepdims=True), t[0, [1, 2]]], 0).unsqueeze(0)
         want = float(F.cross_entropy(merged, torch.from_numpy(labels)))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    @staticmethod
+    def _tal_binary_torch(logits, labels, tid, fg, nc):
+        """Reference TAL5/TAL6 body (loss.py:388-406, :421-435)."""
+        t = to_t(logits)
+        bg = [c for c in range(nc) if c != fg]
+        merged = torch.cat([t[0, bg].sum(0, keepdims=True), t[0, [fg]]], 0).unsqueeze(0)
+        tgt = torch.where(torch.from_numpy(labels) > 0,
+                          torch.tensor(1.0), torch.tensor(0.0)).long()
+        return float(F.cross_entropy(merged, tgt))
+
+    def test_tal6(self, rng):
+        logits = rng.standard_normal((1, 4, 4, 4, 6)).astype(np.float32)
+        labels = rng.integers(0, 6, (1, 4, 4, 4)).astype(np.int64)
+        for tid, fg in [(0, 1), (2, 3), (6, 5)]:
+            got = float(tal6_loss(jnp.asarray(logits), jnp.asarray(labels), [tid]))
+            want = self._tal_binary_torch(logits, labels, tid, fg, 6)
+            np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_tal5(self, rng):
+        logits = rng.standard_normal((1, 4, 4, 4, 5)).astype(np.float32)
+        labels = rng.integers(0, 5, (1, 4, 4, 4)).astype(np.int64)
+        for tid, fg in [(0, 1), (1, 2), (3, 3), (6, 4)]:
+            got = float(tal5_loss(jnp.asarray(logits), jnp.asarray(labels), [tid]))
+            want = self._tal_binary_torch(logits, labels, tid, fg, 5)
+            np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_tal_batch_sums(self, rng):
+        """TAL5/TAL6 sum per-sample CE over the batch (loss.py:390, :423)."""
+        logits = rng.standard_normal((2, 4, 4, 4, 5)).astype(np.float32)
+        labels = rng.integers(0, 5, (2, 4, 4, 4)).astype(np.int64)
+        got = float(tal5_loss(jnp.asarray(logits), jnp.asarray(labels), [0, 6]))
+        want = (float(tal5_loss(jnp.asarray(logits[:1]), jnp.asarray(labels[:1]), [0]))
+                + float(tal5_loss(jnp.asarray(logits[1:]), jnp.asarray(labels[1:]), [6])))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_bce_no_bg5(self, rng):
+        logits = rng.standard_normal((2, 4, 4, 4, 5)).astype(np.float32)
+        labels = rng.integers(0, 5, (2, 4, 4, 4)).astype(np.int64)
+        task_ids = [0, 3]  # -> channels 1 and 3
+        got = float(bce_no_bg5(jnp.asarray(logits), jnp.asarray(labels), task_ids))
+        # reference loss.py:206-210
+        t = to_t(logits)
+        crit = torch.nn.BCEWithLogitsLoss(reduction="none")
+        want = 0.0
+        for i, tid in enumerate(task_ids):
+            c = {0: 1, 1: 2, 3: 3, 6: 4}[tid]
+            want += float(crit(t[i:i + 1, c, ...],
+                               (torch.from_numpy(labels[i:i + 1]) == c).float()).mean())
+        np.testing.assert_allclose(got, want / 2, rtol=1e-5)
+
+    def test_tal_weighted_norm(self, rng):
+        """TAL norm=True path: frequency weights + torch weighted-CE
+        normalization (loss.py:337-368)."""
+        logits = rng.standard_normal((1, 4, 4, 4, 12)).astype(np.float32)
+        labels = np.zeros((1, 4, 4, 4), np.int64)
+        labels[0, :1] = 1
+        labels[0, 3:] = 2
+
+        vs = jnp.zeros(12)
+        vc = jnp.zeros(12)
+        vs, vc, w = tal_update_weights(vs, vc, 500.0, 1, voxels=64 * 64)
+        vs, vc, w = tal_update_weights(vs, vc, 900.0, 1, voxels=64 * 64)
+        vs, vc, w = tal_update_weights(vs, vc, 200.0, 2, voxels=64 * 64)
+        # torch running stats (per-class intent of loss.py:337-341)
+        avg1 = ((500 + 900) / (64 * 64)) / 2
+        avg2 = (200 / (64 * 64)) / 1
+        w_ref = np.ones(12, np.float32)
+        w_ref[1] = np.log(1 / avg1)
+        w_ref[2] = np.log(1 / avg2)
+        np.testing.assert_allclose(np.asarray(w), w_ref, rtol=1e-5)
+
+        got = float(tal_loss_weighted(jnp.asarray(logits), jnp.asarray(labels),
+                                      [0], jnp.asarray(w_ref), norm=True))
+        t = to_t(logits)
+        bg = [0, 3, 4, 5, 6, 7, 8, 9, 10, 11]
+        merged = torch.cat([t[0, bg].sum(0, keepdims=True), t[0, [1, 2]]], 0).unsqueeze(0)
+        wn = torch.from_numpy(w_ref) / torch.from_numpy(w_ref).mean()
+        want = float(F.cross_entropy(merged, torch.from_numpy(labels),
+                                     weight=wn[[0, 1, 2]]))
         np.testing.assert_allclose(got, want, rtol=1e-5)

@@ -1,10 +1,7 @@
-"""Mesh / sharding mechanics on the virtual 8-device CPU mesh.
-
-The full multi-device train step is exercised by the driver's
-dryrun_multichip (see __graft_entry__.py); these tests cover the pieces it
-composes: mesh construction, batch sharding layout, psum'd token EMA, and
-pmean'd gradient semantics under shard_map.
-"""
+"""Mesh / sharding mechanics on the virtual 8-device CPU mesh, up to and
+including the FULL sharded train step (segmenter + refiner + GAN + token EMA)
+run end-to-end on a data:8 mesh and pinned against the single-device step
+(DDP equivalence: reference engine.py:57 + train:314-315 semantics)."""
 
 import jax
 import jax.numpy as jnp
@@ -92,6 +89,101 @@ def test_pmean_grads_match_global_mean(rng):
     got = jax.jit(sharded)(w, x)
     want = jax.grad(loss)(w, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+class TestFullShardedStep:
+    """End-to-end parity of make_sharded_train_step on the data:8 CPU mesh.
+
+    Shapes/config match the driver's dryrun_multichip exactly so the XLA
+    program is shared through the persistent compile cache. 64^3 is the
+    smallest patch the full GAN step allows (discriminator geometry).
+    """
+
+    P = (64, 64, 64)
+    NC = 14
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from multimodal_pl_tpu.models import (
+            NormStyleDiscriminator, RefinerUNet3D, UNet3DFEAM,
+        )
+        from multimodal_pl_tpu.parallel.sharded_step import make_sharded_train_step
+        from multimodal_pl_tpu.train import StepConfig, create_train_state
+        from multimodal_pl_tpu.train.step import build_step_body
+
+        cfg = StepConfig(num_classes=self.NC, deep_up=True, augmask=2, weight_gan=1e-3)
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        model = UNet3DFEAM(num_classes=self.NC, weight_std=True, deep_up=True)
+        refiner = RefinerUNet3D(num_classes=2, weight_std=True, init_filter=24,
+                                in_channel=2)
+        disc = NormStyleDiscriminator()
+        mesh = make_mesh("data:8", cpu_devices())
+        sharded_step = make_sharded_train_step(model, refiner, disc, cfg, mesh)
+        # un-donated twin of make_train_step so the fixture state can be reused
+        single_step = jax.jit(build_step_body(model, refiner, disc, cfg, axis_name=None))
+        return state, sharded_step, single_step
+
+    def _shard(self, rng, sup_organ):
+        return {
+            "image": rng.standard_normal((1, *self.P, 1)).astype(np.float32),
+            "label": rng.integers(0, self.NC, (1, *self.P)).astype(np.int32),
+            "catlas": rng.random((self.NC - 1, *self.P)).astype(np.float32),
+            "sup_mask": np.array(
+                [1] + [int(j == sup_organ) for j in range(1, self.NC)], np.float32),
+            "label_t": np.array([0, 0, 0, 0, 1, 1, 1, 1, 1, 0, 1, 1, 1], np.float32),
+        }
+
+    @staticmethod
+    def _clone(tree):
+        return jax.tree_util.tree_map(jnp.array, tree)
+
+    def test_identical_shards_match_single_device(self, setup, rng):
+        """With 8 identical per-device batches, pmean'd grads == per-device
+        grads and psum'd token stats cancel, so the sharded step's new state
+        and metrics must equal the single-device step on one shard."""
+        state, sharded_step, single_step = setup
+        shard = self._shard(rng, sup_organ=3)
+        gb = shard_batch([shard] * 8)
+
+        s_sh, m_sh = sharded_step(self._clone(state), gb,
+                                  jnp.float32(5e-4), jnp.float32(0.05))
+        s_1, m_1 = single_step(self._clone(state),
+                               {k: jnp.asarray(v) for k, v in shard.items()},
+                               jnp.float32(5e-4), jnp.float32(0.05))
+
+        for k in m_1:
+            np.testing.assert_allclose(
+                float(m_sh[k]), float(m_1[k]), rtol=1e-5, atol=1e-7,
+                err_msg=f"metric {k}")
+        for name in ("params", "rparams", "dparams", "tokens", "momentum"):
+            a = jax.tree_util.tree_leaves(getattr(s_sh, name))
+            b = jax.tree_util.tree_leaves(getattr(s_1, name))
+            assert len(a) == len(b)
+            for la, lb in zip(a, b):
+                np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                           rtol=1e-5, atol=1e-6,
+                                           err_msg=f"state.{name}")
+
+    def test_heterogeneous_shards_average_loss(self, setup, rng):
+        """With 8 DIFFERENT shards (different data, different supervised
+        organ — the realistic DDP layout), the sharded step's reported loss
+        must equal the mean of the 8 independent single-device losses from
+        the same initial state (NCCL all-reduce semantics, train:314-315)."""
+        state, sharded_step, single_step = setup
+        shards = [self._shard(rng, sup_organ=(i % (self.NC - 1)) + 1)
+                  for i in range(8)]
+        gb = shard_batch(shards)
+
+        _, m_sh = sharded_step(self._clone(state), gb,
+                               jnp.float32(5e-4), jnp.float32(0.05))
+        per_dev = []
+        for sh in shards:
+            _, m = single_step(self._clone(state),
+                               {k: jnp.asarray(v) for k, v in sh.items()},
+                               jnp.float32(5e-4), jnp.float32(0.05))
+            per_dev.append(float(m["loss"]))
+        np.testing.assert_allclose(float(m_sh["loss"]), np.mean(per_dev),
+                                   rtol=1e-5)
 
 
 def test_sharded_sliding_matches_single_device(rng):
