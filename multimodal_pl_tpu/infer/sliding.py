@@ -20,7 +20,9 @@ Host->device transfer is a first-class cost (tens of MB per volume): the
 volume ships in ``transfer_dtype`` (bf16 when the network computes in bf16 —
 bit-identical, since tiles are cast to ``compute_dtype`` anyway and the f32
 Gaussian blend only ever touches the network *outputs*), padding happens on
-device inside the jit program instead of a host-side ``np.pad`` copy, and
+device in a tiny per-shape jit program (instead of a host-side ``np.pad``
+copy — and kept out of the window-scan program so near-unique per-case
+shapes never recompile the expensive scan, only the millisecond pad), and
 :meth:`SlidingWindowPredictor.predict_iter` overlaps the next volume's
 transfer with the current volume's compute.
 """
@@ -115,8 +117,19 @@ class SlidingWindowPredictor:
         self.transfer_dtype = transfer_dtype or self.compute_dtype
         self.gaussian = jnp.asarray(gaussian_importance_map(self.tile))[..., None]
         self._jitted = {}
+        self._pad_jitted = {}
 
-    def _build(self, orig_shape, padded_shape, n_batches):
+    def _build_pad(self, orig_shape, padded_shape):
+        """Tiny per-original-shape program: device-side zero-pad to the
+        bucket. Kept SEPARATE from the window scan so the expensive scan
+        program stays keyed on (padded shape, n_batches) — one per bucket —
+        while per-case shape variation only ever recompiles this pad (a
+        host-side np.pad would cost a full copy and inflate the tunnel
+        transfer by the pad margin)."""
+        pads = [(0, p - s) for s, p in zip(orig_shape, padded_shape)] + [(0, 0)]
+        return jax.jit(lambda vol: jnp.pad(vol, pads))
+
+    def _build(self, padded_shape, n_batches):
         tile = self.tile
         nc = self.num_classes
         wb = self.window_batch
@@ -127,14 +140,10 @@ class SlidingWindowPredictor:
                                          (*tile, vol.shape[-1]))
 
         def run(vol, starts, *extra):
-            # vol: (D, H, W, 1) at the ORIGINAL shape — zero-padding to the
-            # bucket happens here on device (a host-side np.pad both costs a
-            # full copy and inflates the tunnel transfer by the pad margin);
+            # vol: (D, H, W, 1) already padded to the bucket shape;
             # starts: (n_batches, wb, 3); extra: dynamic closure args (e.g.
             # params) forwarded to apply_fn so weight updates don't force
             # recompilation
-            vol = jnp.pad(vol, [(0, p - s) for s, p in zip(orig_shape, padded_shape)]
-                          + [(0, 0)])
             full = jnp.zeros((*padded_shape, nc), self.dtype)
             count = jnp.zeros((*padded_shape, 1), self.dtype)
             net = (lambda t: self.apply_fn(t, *extra)) if extra else self.apply_fn
@@ -185,10 +194,14 @@ class SlidingWindowPredictor:
             starts = np.concatenate([starts, np.repeat(starts[-1:], n_batches * wb - n, 0)])
         starts = starts.reshape(n_batches, wb, 3)
 
-        key = (orig, padded, n_batches)
+        key = (padded, n_batches)
         if key not in self._jitted:
-            self._jitted[key] = self._build(orig, padded, n_batches)
+            self._jitted[key] = self._build(padded, n_batches)
+        pad_key = (orig, padded)
+        if pad_key not in self._pad_jitted:
+            self._pad_jitted[pad_key] = self._build_pad(orig, padded)
         dvol = jax.device_put(img.astype(np.dtype(self.transfer_dtype)))
+        dvol = self._pad_jitted[pad_key](dvol)  # async; ~ms compile per shape
         return (dvol, jax.device_put(starts)), orig, key
 
     def __call__(self, image: np.ndarray, *extra) -> jax.Array:

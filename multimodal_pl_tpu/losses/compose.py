@@ -70,6 +70,12 @@ def segmentation_loss(
     if refiner_logits is None:
         return loss + aux
 
+    if label_d is None:
+        raise ValueError(
+            "segmentation_loss: refiner_logits given but label_d is None — "
+            "the pseudo-label consistency term needs the per-case organ "
+            "supervision bits (sup_mask[1:]) to select unsupervised organs"
+        )
     probs = jax.nn.softmax(logits, axis=-1)
     rprob = jax.nn.softmax(refiner_logits.astype(jnp.float32), axis=-1)  # (13, D, H, W, 2)
     p1 = rprob[..., 1]                                                   # (13, D, H, W)

@@ -16,7 +16,8 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from multimodal_pl_tpu.data.dataset import AMOSDataset
+from multimodal_pl_tpu.data.dataset import AMOSDataset, case_id_of
+from multimodal_pl_tpu.data.supervision import label_t_of
 from multimodal_pl_tpu.infer.metrics import organ_scores
 from multimodal_pl_tpu.infer.sliding import SlidingWindowPredictor
 from multimodal_pl_tpu.losses.compose import feature_ramp
@@ -89,6 +90,25 @@ def validate(state: TrainState, model, dataset: AMOSDataset, cfg: LoopConfig,
     return sup_dice_sum, ct, mri
 
 
+def check_refine_grad_capacity(train_ds: AMOSDataset, scfg: StepConfig) -> int:
+    """The refiner's gradient pass gathers a STATIC scfg.refine_grad_organs
+    rows (train/step.py); a case with more supervised labeled-modality organs
+    than that would silently drop tlist rows from the refiner loss. Validate
+    the capacity against the dataset's supervision metadata up front."""
+    max_tlist = 0
+    for f in getattr(train_ds, "files", []):
+        cid = case_id_of(f)
+        tl = int(np.sum(train_ds._sup_mask(cid)[1:] * label_t_of(cid)))
+        max_tlist = max(max_tlist, tl)
+    if max_tlist > scfg.refine_grad_organs:
+        raise ValueError(
+            f"refine_grad_organs={scfg.refine_grad_organs} < max per-case "
+            f"supervised labeled-modality organs ({max_tlist}); raise "
+            "--refine_grad_organs or refiner gradients silently drop organs"
+        )
+    return max_tlist
+
+
 def train_loop(state: TrainState, step_fn, model, train_ds: AMOSDataset,
                valid_ds: Optional[AMOSDataset], scfg: StepConfig, cfg: LoopConfig,
                log_every: int = 10, n_dev: int = 1):
@@ -98,6 +118,7 @@ def train_loop(state: TrainState, step_fn, model, train_ds: AMOSDataset,
     os.makedirs(cfg.snapshot_dir, exist_ok=True)
     logger = MetricsLogger(cfg.snapshot_dir)
     best = -np.inf
+    check_refine_grad_capacity(train_ds, scfg)
     device_keys = ("image", "label", "catlas", "sup_mask", "label_t")
     predictor = make_validation_predictor(model, cfg) if valid_ds is not None else None
 
@@ -121,14 +142,18 @@ def train_loop(state: TrainState, step_fn, model, train_ds: AMOSDataset,
         lr = poly_lr(cfg.learning_rate, epoch, cfg.num_epochs, cfg.power)
         wf = feature_ramp(epoch, scfg.pretrain_epoch, scfg.ramp_until, scfg.weight_feature_max)
 
-        epoch_losses = []
+        # metrics stay DEVICE scalars between logs — fetching per step would
+        # serialize dispatch with host work and forfeit the async-dispatch
+        # overlap the fused step pays for; the every-log_every fetch below is
+        # the only host sync and bounds the dispatch queue.
+        loss_handles = []
         t0 = time.time()
         for it, b in enumerate(batch_stream(train_ds.batches(cfg.batch_size, epochs=1))):
             state, metrics = step_fn(state, b, lr, wf)
-            loss = float(metrics["loss"])  # forced sync: keeps host/device in lockstep
-            epoch_losses.append(loss)
+            loss_handles.append(metrics["loss"])
             if it % log_every == 0:
                 logger.log(int(state.step), {k: float(v) for k, v in metrics.items()})
+        epoch_losses = [float(h) for h in loss_handles]  # trailing sync
         dt = time.time() - t0
         n = max(len(epoch_losses), 1)
         pps = n * cfg.batch_size * n_dev / dt

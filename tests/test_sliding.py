@@ -77,6 +77,24 @@ def test_bucket_padding_is_exact(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+def test_scan_program_shared_across_case_shapes(rng):
+    """Real AMOS eval sees near-unique per-case shapes; the expensive window
+    scan program must be keyed on the BUCKET (padded shape, n_batches) only,
+    with per-case variation absorbed by the tiny separate pad program."""
+    tile = (16, 24, 24)
+    pred = SlidingWindowPredictor(_toy_apply, tile, 3, window_batch=2,
+                                  bucket=(16, 16, 16))
+    shapes = [(17, 26, 26), (20, 30, 30), (22, 31, 27), (18, 25, 32)]
+    for s in shapes:
+        vol = rng.standard_normal(s).astype(np.float32)
+        got = np.asarray(pred(vol))
+        want = predict_sliding_naive(_toy_apply, vol, tile, 3)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # all four shapes round to the same (32, 32, 32) bucket -> ONE scan program
+    assert len(pred._jitted) == 1, pred._jitted.keys()
+    assert len(pred._pad_jitted) == len(shapes)
+
+
 def test_predict_iter_matches_call(rng):
     # the prefetching streaming path must give the exact same outputs as the
     # one-shot path, in order, including across different volume shapes

@@ -178,3 +178,27 @@ def test_step_seg_loss_composition(setup):
 
     _, metrics = step(state, batch, jnp.float32(5e-4), wf)
     np.testing.assert_allclose(float(metrics["seg_loss"]), expected, rtol=2e-5)
+
+
+def test_check_refine_grad_capacity():
+    """refine_grad_organs must cover the max per-case supervised
+    labeled-modality organ count or the refiner gradient pass silently drops
+    tlist rows (advisor finding, train/step.py static-K gather)."""
+    from multimodal_pl_tpu.data.supervision import label_t_of, supervision_mask_for_case
+    from multimodal_pl_tpu.train.loop import check_refine_grad_capacity
+
+    class StubDS:
+        # CT case 40 supervises one organ; the single-organ AMOS csv never
+        # exceeds 1, so capacity 2 passes and capacity 0 must raise
+        files = ["x/amos_0040_0000.nii.gz", "x/amos_0500_0000.nii.gz"]
+
+        def _sup_mask(self, cid):
+            return supervision_mask_for_case(cid)
+
+    got = check_refine_grad_capacity(StubDS(), StepConfig(refine_grad_organs=2))
+    want = int(np.sum(supervision_mask_for_case(40)[1:] * label_t_of(40)))
+    assert got == want and got >= 0
+
+    if want > 0:
+        with pytest.raises(ValueError, match="refine_grad_organs"):
+            check_refine_grad_capacity(StubDS(), StepConfig(refine_grad_organs=0))
