@@ -13,6 +13,18 @@ produced with. (The reference publishes no absolute GPU throughput —
 BASELINE.md — so the like-for-like loop on identical hardware is the
 baseline.)
 
+Methodology (round 2, after the round-1 driver capture came in at half the
+claimed number):
+  - one full WARMUP epoch of the streaming pipeline (compile + prefetch
+    steady state) before any timing;
+  - the headline is the MEDIAN of N_EPOCHS timed streaming epochs, each a
+    full ``predict_iter`` pass over REPS distinct volumes — robust to the
+    host-contention spikes this 1-vCPU axon tunnel is prone to;
+  - the decomposition line separates the no-overlap one-shot path (same
+    compute, serial transfer) from the streaming path, so the prefetch
+    overlap's contribution to the headline — which the serial reference
+    loop does not get — is visible next to the speedup ratio.
+
 NOTE (axon platform): block_until_ready() can return before execution
 completes, so every timed section forces a device->host scalar sync.
 """
@@ -20,6 +32,7 @@ completes, so every timed section forces a device->host scalar sync.
 from __future__ import annotations
 
 import json
+import statistics
 import sys
 import time
 
@@ -50,7 +63,8 @@ def main():
     VOL = (128, 256, 256)
     TILE = (64, 192, 192)
     NC = 14
-    REPS = 5
+    REPS = 5        # volumes per streaming epoch
+    N_EPOCHS = 5    # timed epochs; headline = median
 
     model = UNet3DFEAM(num_classes=NC, weight_std=True, deep_up=True)
     tokens = init_class_tokens(jax.random.PRNGKey(1), NC)
@@ -69,12 +83,28 @@ def main():
     # steady-state streaming throughput of a real evaluation pass. ----
     predictor = SlidingWindowPredictor(fwd, TILE, NC, window_batch=4,
                                        compute_dtype=jnp.bfloat16)
-    _sync(predictor(vol))  # compile
-    t0 = time.time()
-    for out in predictor.predict_iter(vols):
+    _sync(predictor(vol))  # compile (scan + pad programs)
+    for out in predictor.predict_iter(vols):  # warmup epoch: prefetch steady state
         _sync(out)
-    fast_dt = (time.time() - t0) / REPS
+
+    epoch_dts = []
+    for _ in range(N_EPOCHS):
+        t0 = time.time()
+        for out in predictor.predict_iter(vols):
+            _sync(out)
+        epoch_dts.append((time.time() - t0) / REPS)
+    fast_dt = statistics.median(epoch_dts)
     fast_vps = 1.0 / fast_dt
+
+    # ---- no-overlap decomposition: same program, one volume at a time
+    # (serial transfer -> compute -> sync). The difference vs fast_dt is the
+    # prefetch-overlap contribution, which the serial baseline loop lacks. ----
+    oneshot_dts = []
+    for v in vols:
+        t0 = time.time()
+        _sync(predictor(v))
+        oneshot_dts.append(time.time() - t0)
+    oneshot_dt = statistics.median(oneshot_dts)
 
     # ---- reference-style per-tile Python loop on the same chip ----
     tile_fwd = jax.jit(fwd)
@@ -94,8 +124,13 @@ def main():
         "vs_baseline": round(fast_vps / naive_vps, 3),
     }
     print(json.dumps(result))
-    print(f"# batched scan: {fast_dt:.3f}s/vol | reference-style loop on same chip: "
-          f"{naive_dt:.3f}s/vol | speedup {fast_vps / naive_vps:.2f}x", file=sys.stderr)
+    print(f"# streaming (median of {N_EPOCHS} epochs x {REPS} vols): {fast_dt:.3f}s/vol "
+          f"(epochs: {', '.join(f'{d:.3f}' for d in epoch_dts)}) | "
+          f"one-shot no-overlap: {oneshot_dt:.3f}s/vol "
+          f"(prefetch overlap saves {oneshot_dt - fast_dt:.3f}s/vol; the serial "
+          f"reference loop has no such overlap) | "
+          f"reference-style loop on same chip: {naive_dt:.3f}s/vol | "
+          f"speedup {fast_vps / naive_vps:.2f}x", file=sys.stderr)
 
 
 if __name__ == "__main__":
