@@ -102,6 +102,53 @@ def t_eam(x_t, tok, sd, prefix, num_heads=4):
     return out, attn
 
 
+def torch_feam2_forward_train(x, sd, tokens, mask, alpha=0.01, layers=(1, 2, 2, 2, 2)):
+    """The reference unet3D_with_feam2 TRAINING forward (unet3D.py:826-936):
+    same topology as feam3, but the parameter class tokens are EMA-updated
+    IN-FORWARD from the masked decoder-feature means before each EAM consumes
+    them (detached). mask: (B, 1, D, H, W) integer labels. B must be 1 — the
+    reference's boolean-index reshape scrambles channels for B > 1 (see
+    models/tokens.py docstring). Returns (logits, attns, deeps, tokens)."""
+    up = lambda t: F.interpolate(t, scale_factor=2, mode="trilinear")
+    tokens = {k: v.clone() for k, v in tokens.items()}
+
+    def ema_update(x, tok):
+        # unet3D.py:854-864 (and :890-896, :920-926 at the other scales)
+        for l in range(tok.shape[0]):
+            if (mask == (l + 1)).sum() != 0:
+                cm = F.interpolate((mask == (l + 1)).float(), size=x.shape[2:],
+                                   mode="nearest").bool().repeat(1, x.shape[1], 1, 1, 1)
+                if cm.sum() == 0:
+                    continue
+                feat = x[cm].reshape(x.shape[1], -1).mean(-1)
+                tok[l] = tok[l] * (1 - alpha) + feat * alpha
+
+    x = t_ws_conv(x, sd["conv1.weight"])
+    x = t_stage(x, sd, "layer0", layers[0]); skip0 = x
+    x = t_stage(x, sd, "layer1", layers[1]); skip1 = x
+    x = t_stage(x, sd, "layer2", layers[2]); skip2 = x
+    x = t_stage(x, sd, "layer3", layers[3]); skip3 = x
+    x = t_stage(x, sd, "layer4", layers[4])
+    x = t_fusion(x, sd)
+
+    attns, deeps = [], []
+    for skip, stage, deep, eam_name, tok_key, dim in (
+        (skip3, "x8_resb", "deepout1", "eam84", "t1", 128),
+        (skip2, "x4_resb", "deepout2", "eam42", "t2", 64),
+        (skip1, "x2_resb", "deepout3", "eam21", "t3", 32),
+    ):
+        x = t_stage(up(x) + skip, sd, stage, 1)
+        deeps.append(t_seq_head(x, sd, deep))
+        ema_update(x, tokens[tok_key])
+        x_t = x.reshape(x.shape[0], x.shape[1], -1).permute(0, 2, 1)
+        _, a = t_eam(x_t, tokens[tok_key].view(1, NC - 1, dim), sd, eam_name)
+        attns.append(a.mean(1).reshape(x.shape[0], NC - 1, *x.shape[2:]))
+
+    x = t_stage(up(x) + skip0, sd, "x1_resb", 1)
+    logits = t_seq_head(x, sd, "precls_conv")
+    return logits, attns, deeps, tokens
+
+
 def torch_feam3_forward(x, sd, tokens, layers=(1, 2, 2, 2, 2)):
     """The reference unet3D_with_feam3 training forward (unet3D.py:1095-1188)."""
     up = lambda t: F.interpolate(t, scale_factor=2, mode="trilinear")
@@ -173,6 +220,52 @@ def test_whole_model_forward_matches_torch(model_and_params, rng):
         chk(a, ta, name=f"attn{i}")
     for i, (d, td) in enumerate(zip(deeps, t_deeps)):
         chk(d, td, name=f"deep{i}")
+
+
+def test_feam2_pre_update_forward_matches_torch(model_and_params, rng):
+    """token_update='pre' == unet3D_with_feam2 (unet3D.py:721-936), the
+    variant reference users' EVAL checkpoints are saved as
+    (evaluate_amos.py:571): in-forward EMA of parameter tokens, consumed
+    detached post-update by each EAM. Pins logits, attention maps, deep-sup
+    heads AND the updated token state against torch."""
+    _, params, tokens = model_and_params
+    model2 = UNet3DFEAM(num_classes=NC, weight_std=True, deep_up=False,
+                        token_update="pre")
+    x = rng.standard_normal((1, D, H, W, 1)).astype(np.float32)
+    # labels 0..8: organs 9..13 absent, so their tokens must pass through
+    # unchanged (the (mask==l+1).sum()!=0 guard)
+    mask = rng.integers(0, 9, (1, D, H, W)).astype(np.int32)
+
+    logits, attns, deeps, _, new_tokens = model2.apply(
+        params, jnp.asarray(x), tokens, jnp.asarray(mask))
+
+    sd_np = params_to_feam_state_dict(params, tokens)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd_np.items()}
+    t_tokens = {k: torch.from_numpy(np.asarray(tokens[k])) for k in tokens}
+    xt = torch.from_numpy(x.transpose(0, 4, 1, 2, 3))
+    mt = torch.from_numpy(mask[:, None].astype(np.float32))
+
+    with torch.no_grad():
+        t_logits, t_attns, t_deeps, t_new = torch_feam2_forward_train(
+            xt, sd, t_tokens, mt)
+
+    def chk(ours_chlast, theirs_ncdhw, rtol=2e-3, atol=2e-4, name=""):
+        got = np.asarray(ours_chlast).transpose(0, 4, 1, 2, 3)
+        want = theirs_ncdhw.numpy()
+        np.testing.assert_allclose(got, want, rtol=rtol, atol=atol, err_msg=name)
+
+    chk(logits, t_logits, name="logits")
+    for i, (a, ta) in enumerate(zip(attns, t_attns)):
+        chk(a, ta, name=f"attn{i}")
+    for i, (d, td) in enumerate(zip(deeps, t_deeps)):
+        chk(d, td, name=f"deep{i}")
+    for k in tokens:
+        np.testing.assert_allclose(np.asarray(new_tokens[k]), t_new[k].numpy(),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"token {k}")
+        # organs 9..13 never occur -> rows 8.. must be bit-identical
+        np.testing.assert_array_equal(np.asarray(new_tokens[k])[8:],
+                                      np.asarray(tokens[k])[8:],
+                                      err_msg=f"untouched rows of {k}")
 
 
 def test_converter_roundtrip(model_and_params):
