@@ -91,3 +91,22 @@ def atlas_cores(atlas: np.ndarray) -> np.ndarray:
         if idx[0].size:
             cores[g] = [int(np.mean(ax)) for ax in idx]
     return cores
+
+
+def atlas_cores_weighted(atlas: np.ndarray) -> np.ndarray:
+    """Per-organ PROBABILITY-WEIGHTED center of mass, the multi-source
+    variant's core definition (MOTSDataset.py:504-519): for each organ
+    channel, sum(coord * prob) / sum(prob) over positive voxels, truncated
+    to int (torch ``.int()``). Channels with no support map to (0, 0, 0)."""
+    cores = np.zeros((atlas.shape[0], 3), np.int32)
+    for g in range(atlas.shape[0]):
+        ch = atlas[g]
+        total = ch.sum(dtype=np.float64)
+        if total <= 0:
+            continue
+        pos = ch > 0
+        w = ch[pos].astype(np.float64)
+        for dim, grid in enumerate(np.indices(ch.shape, sparse=True)):
+            coords = np.broadcast_to(grid, ch.shape)[pos]
+            cores[g, dim] = int((coords * w).sum() / total)
+    return cores

@@ -18,6 +18,7 @@ from typing import Callable, Dict, Optional, Sequence
 
 import numpy as np
 
+from multimodal_pl_tpu.data.atlas import atlas_cores_weighted
 from multimodal_pl_tpu.data.dataset import AMOSDataset, case_id_of
 from multimodal_pl_tpu.data.supervision import supervision_mask_for_case
 
@@ -56,6 +57,11 @@ class MultiSourceDataset(AMOSDataset):
                  only_data: int = -1,
                  converters: Optional[Dict[str, Callable]] = None, **kwargs):
         super().__init__(root, **kwargs)
+        # probability-weighted per-organ atlas cores (MOTSDataset.py:504-519)
+        # — the multi-source variant's core definition (vs the unweighted
+        # support mean of the base dataset, :126-141)
+        self.cores = (atlas_cores_weighted(self.atlas)
+                      if self.atlas is not None else None)
         self.converters = dict(DEFAULT_CONVERTERS)
         if converters:
             self.converters.update(converters)

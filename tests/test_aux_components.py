@@ -137,6 +137,27 @@ class TestListsAndSources:
         lab = np.array([0, 1, 1, 0])
         np.testing.assert_array_equal(convert_seg_chaos(lab), [0, 5, 5, 0])
 
+    def test_atlas_cores_weighted(self):
+        """MOTSDataset.py:504-519 torch-golden: probability-weighted center
+        of mass per channel, truncated to int; empty channel -> (0,0,0)."""
+        from multimodal_pl_tpu.data.atlas import atlas_cores_weighted
+
+        atlas = np.zeros((2, 4, 5, 6), np.float32)
+        atlas[0, 1, 2, 3] = 0.2
+        atlas[0, 3, 4, 5] = 0.6
+        # weighted mean: d=(1*.2+3*.6)/.8=2.5->2, h=(2*.2+4*.6)/.8=3.5->3,
+        # w=(3*.2+5*.6)/.8=4.5->4
+        cores = atlas_cores_weighted(atlas)
+        np.testing.assert_array_equal(cores[0], [2, 3, 4])
+        np.testing.assert_array_equal(cores[1], [0, 0, 0])
+
+        import torch
+        cgan = torch.tensor(atlas[0])
+        mesh = torch.meshgrid(*[torch.arange(s) for s in cgan.shape], indexing="ij")
+        want = [int(((mesh[d][cgan > 0] * cgan[cgan > 0].float()).sum()
+                     / cgan.sum()).int()) for d in range(3)]
+        np.testing.assert_array_equal(cores[0], want)
+
 
 def test_step_timer():
     t = StepTimer(window=2)
