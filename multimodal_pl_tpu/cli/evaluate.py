@@ -44,6 +44,10 @@ def get_arguments() -> argparse.ArgumentParser:
     p.add_argument("--deep_up", type=str2bool, default=True)
     p.add_argument("--bf16", type=str2bool, default=True,
                    help="bfloat16 tile compute (f32 Gaussian blend)")
+    p.add_argument("--mesh", type=str, default="",
+                   help="shard windows over a device mesh, e.g. 'data:8' — "
+                        "the TPU-native equivalent of the reference's "
+                        "nn.DataParallel eval (evaluate_amos.py:580)")
     return p
 
 
@@ -107,16 +111,37 @@ def main(argv=None):
     model = UNet3DFEAM(num_classes=args.num_classes, weight_std=args.weight_std,
                        deep_up=args.deep_up)
 
-    def fwd(tiles):
-        out = model.apply(states[0].params, tiles, states[0].tokens)[0]
-        for s in states[1:]:
-            out = out + model.apply(s.params, tiles, s.tokens)[0]
-        return out / len(states)
+    # params/tokens are DYNAMIC arguments of the compiled window scan (one
+    # (params, tokens) pair per ensemble member), so swapping checkpoints —
+    # or evaluating repeatedly in-loop — never recompiles the scan program
+    # (infer/sliding.py design note; reference multi_net evaluate_amos.py:199)
+    def fwd(tiles, *member_trees):
+        out = None
+        for p, t in zip(member_trees[0::2], member_trees[1::2]):
+            o = model.apply(p, tiles, t)[0]
+            out = o if out is None else out + o
+        return out / (len(member_trees) // 2)
+
+    member_args = []
+    for s in states:
+        member_args += [s.params, s.tokens]
 
     state = states[0]
-    predictor = SlidingWindowPredictor(
-        fwd, (d, h, w), args.num_classes, window_batch=args.window_batch,
-        tta=args.tta, compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    if args.mesh:
+        from multimodal_pl_tpu.parallel.mesh import make_mesh
+        from multimodal_pl_tpu.parallel.sharded_infer import (
+            ShardedSlidingWindowPredictor,
+        )
+
+        mesh = make_mesh(args.mesh)
+        predictor = ShardedSlidingWindowPredictor(
+            fwd, (d, h, w), args.num_classes, mesh,
+            window_batch=args.window_batch, compute_dtype=compute_dtype)
+    else:
+        predictor = SlidingWindowPredictor(
+            fwd, (d, h, w), args.num_classes, window_batch=args.window_batch,
+            tta=args.tta, compute_dtype=compute_dtype)
 
     atlas = np.load(args.atlas_path) if os.path.exists(args.atlas_path) else None
     ds = AMOSDataset(args.data_dir, crop_size=(d, h, w), usage=args.usage, atlas=atlas)
@@ -144,7 +169,7 @@ def main(argv=None):
                 pending.append(s)
                 yield s.image[..., 0]
 
-        for logits in predictor.predict_iter(_volumes()):
+        for logits in predictor.predict_iter(_volumes(), *member_args):
             s = pending.pop(0)
             if args.use_atlas_threshold and atlas is not None:
                 catlas_dhw1 = jnp.moveaxis(jnp.asarray(s.catlas), 0, -1)[None]

@@ -44,7 +44,7 @@ class ShardedSlidingWindowPredictor:
         self.gaussian = jnp.asarray(gaussian_importance_map(self.tile))[..., None]
         self._jitted = {}
 
-    def _build(self, padded_shape, batches_per_dev):
+    def _build(self, padded_shape, batches_per_dev, n_extra):
         tile = self.tile
         nc = self.num_classes
         wb = self.window_batch
@@ -84,7 +84,6 @@ class ShardedSlidingWindowPredictor:
             count = jax.lax.psum(count, self.axis)
             return full / count
 
-        n_extra = getattr(self, "_n_extra", 0)
         sharded = shard_map(
             device_run,
             mesh=self.mesh,
@@ -115,7 +114,13 @@ class ShardedSlidingWindowPredictor:
 
         key = (padded, n_steps, len(extra))
         if key not in self._jitted:
-            self._n_extra = len(extra)
-            self._jitted[key] = self._build(padded, n_steps)
+            self._jitted[key] = self._build(padded, n_steps, len(extra))
         out = self._jitted[key](jnp.asarray(img, self.dtype), jnp.asarray(starts), *extra)
         return out[: orig[0], : orig[1], : orig[2]]
+
+    def predict_iter(self, images, *extra):
+        """Per-volume iteration (API-compatible with
+        SlidingWindowPredictor.predict_iter). Dispatch is async, so the next
+        volume's host prep overlaps the current device compute."""
+        for img in images:
+            yield self(img, *extra)

@@ -205,6 +205,36 @@ def test_sharded_sliding_matches_single_device(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_sharded_sliding_real_model_dynamic_params(rng):
+    """The evaluate CLI's --mesh path: window-sharded inference through the
+    REAL flagship model with (params, tokens) passed as dynamic args (so
+    checkpoint swaps never recompile), pinned against the single-device
+    predictor with the same dynamic-args calling convention."""
+    from multimodal_pl_tpu.infer.sliding import SlidingWindowPredictor
+    from multimodal_pl_tpu.models import UNet3DFEAM, init_class_tokens
+    from multimodal_pl_tpu.parallel.sharded_infer import ShardedSlidingWindowPredictor
+
+    NC = 14
+    tile = (16, 32, 32)
+    model = UNet3DFEAM(num_classes=NC, weight_std=True, deep_up=False)
+    tokens = init_class_tokens(jax.random.PRNGKey(1), NC)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, *tile, 1)), tokens)
+
+    def fwd(tiles, params, tokens):
+        return model.apply(params, tiles, tokens)[0]
+
+    vol = rng.standard_normal((16, 48, 48)).astype(np.float32)  # 4 windows
+    mesh = make_mesh("data:4", cpu_devices())
+    sharded = ShardedSlidingWindowPredictor(fwd, tile, NC, mesh,
+                                            window_batch=1, bucket=(16, 16, 16))
+    single = SlidingWindowPredictor(fwd, tile, NC, window_batch=2,
+                                    bucket=(16, 16, 16))
+    np.testing.assert_allclose(np.asarray(sharded(vol, params, tokens)),
+                               np.asarray(single(vol, params, tokens)),
+                               rtol=2e-4, atol=1e-5)
+
+
 def test_sliding_params_as_dynamic_args(rng):
     """Weights passed as extra args must not change results vs closure form."""
     from multimodal_pl_tpu.infer.sliding import SlidingWindowPredictor
