@@ -18,10 +18,15 @@ from multimodal_pl_tpu.data.supervision import generate_supervision_csv
 
 
 def make_case(rng: np.random.Generator, shape=(96, 96, 80), num_fg: int = 13,
-              modality: str = "ct"):
+              modality: str = "ct", organ_r_frac: float = 0.11):
     """Returns (image, label) with ellipsoid organs at stable relative
     positions (so an atlas makes sense across cases). Organ sizes are scaled
-    to the volume (a few percent occupancy, like mid-size abdominal organs)."""
+    to the volume via ``organ_r_frac`` (radius as a fraction of min(shape)):
+    the 0.11 default gives ~0.4% occupancy per organ (small organs); 0.18
+    gives ~1.7%/organ, ~20% total foreground — the realistic abdominal
+    occupancy needed for partial-label training signal to emerge (round-1
+    finding: at 0.4% occupancy every organ sits in a background-pressure
+    equilibrium it cannot escape under 1-organ-per-case supervision)."""
     D, H, W = shape
     label = np.zeros(shape, np.uint8)
     image = rng.normal(0, 20, shape).astype(np.float32)
@@ -30,15 +35,23 @@ def make_case(rng: np.random.Generator, shape=(96, 96, 80), num_fg: int = 13,
             (0.7, 0.5, 0.45), (0.4, 0.5, 0.6), (0.6, 0.3, 0.6), (0.6, 0.7, 0.6),
             (0.35, 0.5, 0.3), (0.65, 0.5, 0.7), (0.45, 0.25, 0.45), (0.45, 0.75, 0.45),
             (0.55, 0.5, 0.35)]
-    base_r = 0.11 * min(shape)
+    base_r = organ_r_frac * min(shape)
     zz, yy, xx = np.ogrid[:D, :H, :W]
+    # radius-normalized distance field per organ; voxels inside several blobs
+    # go to the NEAREST center (so at realistic occupancies no organ is
+    # swallowed by a later-drawn neighbor)
+    ndist = np.full((num_fg, *shape), np.inf, np.float32)
     for organ in range(1, num_fg + 1):
         cz, cy, cx = grid[organ - 1]
         c = np.array([cz * D, cy * H, cx * W]) + rng.normal(0, 1.5, 3)
         r = base_r * rng.uniform(0.8, 1.3)
-        blob = ((zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2) < r**2
-        label[blob] = organ
-        image[blob] += 150 + 20 * organ
+        d2 = (zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2
+        ndist[organ - 1] = np.sqrt(d2) / r
+    nearest = np.argmin(ndist, axis=0)
+    inside = np.take_along_axis(ndist, nearest[None], 0)[0] < 1.0
+    label[inside] = (nearest[inside] + 1).astype(np.uint8)
+    for organ in range(1, num_fg + 1):
+        image[label == organ] += 150 + 20 * organ
     if modality == "ct":
         image += -50  # HU-ish background
     else:
@@ -55,7 +68,7 @@ _SPREAD_CT_IDS = [40, 80, 130, 170, 240, 290, 360, 430, 455, 475, 30, 120, 230, 
 
 def make_synthetic_amos(root: str, n_ct: int = 4, n_mri: int = 2,
                         shape=(96, 96, 80), seed: int = 0, num_fg: int = 13,
-                        spread_ids: bool = True):
+                        spread_ids: bool = True, organ_r_frac: float = 0.11):
     """Write imagesTr/labelsTr fixtures + atlas + supervise_mask.csv.
 
     CT ids are spread across the supervision id-ranges (or 1..n_ct when
@@ -82,7 +95,7 @@ def make_synthetic_amos(root: str, n_ct: int = 4, n_mri: int = 2,
     labels_sum = np.zeros((num_fg, *shape), np.float32)
     for cid in ids:
         modality = "mri" if cid >= 500 else "ct"
-        img, lab = make_case(rng, shape, num_fg, modality)
+        img, lab = make_case(rng, shape, num_fg, modality, organ_r_frac)
         write_nifti(os.path.join(img_dir, f"amos_{cid:04d}_0000.nii.gz"), img, (1, 1, 2))
         write_nifti(os.path.join(lab_dir, f"amos_{cid:04d}.nii.gz"), lab, (1, 1, 2))
         for organ in range(1, num_fg + 1):

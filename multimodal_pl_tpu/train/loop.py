@@ -170,6 +170,9 @@ def train_loop(state: TrainState, step_fn, model, train_ds: AMOSDataset,
             r1, ct, mri = validate(state, model, valid_ds, cfg, logger, epoch, predictor)
             print(f"validate: sup_dice_sum={r1:.4f} ct_mean={ct.mean():.4f} "
                   f"mri_mean={mri.mean():.4f}")
+            # per-organ tables (reference train:516-540 prints these per round)
+            print("  CT  organ dice: " + " ".join(f"{v:.3f}" for v in ct))
+            print("  MRI organ dice: " + " ".join(f"{v:.3f}" for v in mri))
             if r1 > best or epoch % 100 == 0:
                 if r1 > best:
                     best = r1
