@@ -37,8 +37,14 @@ def get_arguments() -> argparse.ArgumentParser:
     p.add_argument("--local_rank", type=int, default=0)
     p.add_argument("--FP16", type=str2bool, default=False)     # parity: use --bf16 on TPU
     p.add_argument("--num_epochs", type=int, default=500)
-    p.add_argument("--itrs_each_epoch", type=int, default=250)
-    p.add_argument("--patience", type=int, default=3)
+    # both accepted-but-unused exactly as in the reference: max_iters is
+    # threaded into AMOSDataSet_newatlas (train:168) but never consumed
+    # (MOTSDataset.py defines it and ignores it), and patience appears only
+    # in the argparse block (train:68)
+    p.add_argument("--itrs_each_epoch", type=int, default=250,
+                   help="parity no-op (dead flag in the reference too)")
+    p.add_argument("--patience", type=int, default=3,
+                   help="parity no-op (dead flag in the reference too)")
     p.add_argument("--start_epoch", type=int, default=0)
     p.add_argument("--val_pred_every", type=int, default=50)
     p.add_argument("--learning_rate", type=float, default=5e-4)
@@ -72,6 +78,9 @@ def get_arguments() -> argparse.ArgumentParser:
                         "without it and runs 1.13x faster (565 vs 628 ms/step)")
     p.add_argument("--mesh", type=str, default="",
                    help="data-parallel mesh spec, e.g. 'data:8' (empty = single device)")
+    p.add_argument("--pallas_gn", type=str2bool, default=False,
+                   help="fused Pallas GN->ReLU kernel for the voxel-domain "
+                        "pre-activations (ops/pallas/fused_gn_relu.py)")
     p.add_argument("--cache_data", type=str2bool, default=False,
                    help="memoize prepared volumes (NIfTI read + atlas resize + "
                         "pad/truncate) in host RAM — ~0.5 GB/case at the AMOS "
@@ -111,6 +120,7 @@ def main(argv=None):
         pretrain_epoch=args.pretrain_epoch,
         remat=args.remat,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        pallas_gn=args.pallas_gn,
     )
     state = create_train_state(rng, scfg)
     if args.reload_from_checkpoint:

@@ -61,18 +61,26 @@ class WSConv3d(nn.Module):
 
 
 class GroupNorm(nn.Module):
-    """torch-compatible GroupNorm (eps=1e-5, contiguous channel groups)."""
+    """torch-compatible GroupNorm (eps=1e-5, contiguous channel groups).
+
+    relu=True fuses the trailing ReLU of the pre-activation pattern into the
+    call — routed through the Pallas fused kernel when
+    ops.norm.set_fused_gn_relu(True) is active (param tree unchanged)."""
 
     num_groups: int
     eps: float = 1e-5
+    relu: bool = False
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones_init(), (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros_init(), (c,), jnp.float32)
-        from multimodal_pl_tpu.ops.norm import group_norm
+        from multimodal_pl_tpu.ops.norm import group_norm, group_norm_relu
 
+        if self.relu:
+            return group_norm_relu(x, scale.astype(x.dtype), bias.astype(x.dtype),
+                                   self.num_groups, self.eps)
         return group_norm(x, scale.astype(x.dtype), bias.astype(x.dtype), self.num_groups, self.eps)
 
 
@@ -93,8 +101,7 @@ class GNReLUConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = GroupNorm(self.num_groups, name="gn")(x)
-        x = nn.relu(x)
+        x = GroupNorm(self.num_groups, relu=True, name="gn")(x)
         return WSConv3d(
             self.features,
             kernel=self.kernel,
@@ -124,13 +131,11 @@ class NoBottleneck(nn.Module):
         stride = self.stride if not isinstance(self.stride, int) else (self.stride,) * 3
         needs_proj = any(s != 1 for s in stride) or inplanes != self.features
 
-        out = GroupNorm(self.group, name="gn1")(x)
-        out = nn.relu(out)
+        out = GroupNorm(self.group, relu=True, name="gn1")(x)
         out = WSConv3d(
             self.features, stride=stride, padding=1, weight_std=self.weight_std, name="conv1"
         )(out)
-        out = GroupNorm(self.group, name="gn2")(out)
-        out = nn.relu(out)
+        out = GroupNorm(self.group, relu=True, name="gn2")(out)
         out = WSConv3d(self.features, stride=1, padding=1, weight_std=self.weight_std, name="conv2")(out)
 
         residual = x

@@ -5,9 +5,13 @@ forward (models/blocks.py NoBottleneck / GNReLUConv). Statistics need a full
 per-(sample, group) reduction, but decoder feature maps exceed VMEM, so the
 kernel runs two passes over spatial blocks:
 
-  pass 1: per-block partial (sum, sumsq) accumulated across the sequential
-          TPU grid into an (N, G, 2) stats output;
-  pass 2: normalize + affine + ReLU elementwise with the finalized stats.
+  pass 1: per-block partial per-CHANNEL (sum, sumsq) accumulated across the
+          sequential TPU grid into an (N, 2, C) stats output — the channel
+          lane dimension is never reshaped (Mosaic cannot lay out a lane
+          split like (BS, C) -> (BS, G, C/G); the group pooling is C -> G
+          on a tiny (N, 2, C) tensor, done between passes in plain XLA);
+  pass 2: normalize + affine + ReLU elementwise with per-channel
+          broadcast vectors (mean/inv already group-pooled and re-expanded).
 
 Both passes stream each block HBM->VMEM exactly once; XLA's stock lowering
 materializes the normalized tensor before the ReLU when the consumer can't
@@ -25,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _stats_kernel(x_ref, out_ref):
-    """x: (1, BS, C) block; out: (1, G, 2) accumulated (sum, sumsq)."""
+    """x: (1, BS, C) block; out: (1, 2, C) accumulated per-channel (sum, sumsq)."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -33,27 +37,15 @@ def _stats_kernel(x_ref, out_ref):
         out_ref[...] = jnp.zeros_like(out_ref)
 
     x = x_ref[0].astype(jnp.float32)              # (BS, C)
-    bs, c = x.shape
-    g = out_ref.shape[1]
-    xg = x.reshape(bs, g, c // g)
-    s = jnp.sum(xg, axis=(0, 2))                  # (G,)
-    ss = jnp.sum(xg * xg, axis=(0, 2))
-    out_ref[0, :, 0] += s
-    out_ref[0, :, 1] += ss
+    out_ref[0, 0, :] += jnp.sum(x, axis=0)
+    out_ref[0, 1, :] += jnp.sum(x * x, axis=0)
 
 
-def _norm_kernel(x_ref, stats_ref, scale_ref, bias_ref, count_ref, out_ref):
+def _norm_kernel(x_ref, mean_ref, inv_ref, scale_ref, bias_ref, out_ref):
+    """Elementwise: relu((x - mean_c) * inv_c * scale + bias) with (1, C)
+    per-channel broadcast rows (group stats pre-pooled outside)."""
     x = x_ref[0].astype(jnp.float32)              # (BS, C)
-    bs, c = x.shape
-    g = stats_ref.shape[1]
-    cpg = c // g
-    n = count_ref[0]
-    mean = stats_ref[0, :, 0] / n                 # (G,)
-    var = stats_ref[0, :, 1] / n - mean * mean
-    inv = jax.lax.rsqrt(var + 1e-5)
-    mean_c = jnp.repeat(mean, cpg)
-    inv_c = jnp.repeat(inv, cpg)
-    y = (x - mean_c[None, :]) * inv_c[None, :] * scale_ref[...] + bias_ref[...]
+    y = (x - mean_ref[0]) * inv_ref[0] * scale_ref[0] + bias_ref[0]
     out_ref[0] = jnp.maximum(y, 0.0).astype(out_ref.dtype)
 
 
@@ -71,7 +63,7 @@ def fused_group_norm_relu(x, scale, bias, num_groups: int, block_spatial: int = 
         s *= d
     xf = x.reshape(n, s, c)
 
-    # pad spatial to a block multiple (padded zeros are excluded via count)
+    # pad spatial to a block multiple (padded zeros drop out via the true count)
     nb = pl.cdiv(s, block_spatial)
     pad = nb * block_spatial - s
     if pad:
@@ -82,30 +74,40 @@ def fused_group_norm_relu(x, scale, bias, num_groups: int, block_spatial: int = 
         grid=(n, nb),
         in_specs=[pl.BlockSpec((1, block_spatial, c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, num_groups, 2), lambda i, j: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 2, c), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, num_groups, 2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, 2, c), jnp.float32),
         interpret=interpret,
     )(xf)
 
-    count = jnp.full((1,), float(s * (c // num_groups)), jnp.float32)
+    # group pooling on the tiny stats tensor (plain XLA): per-(sample, group)
+    # moments, re-expanded to per-channel broadcast rows
+    cpg = c // num_groups
+    count = float(s * cpg)
+    gsum = stats[:, 0].reshape(n, num_groups, cpg).sum(-1)     # (N, G)
+    gss = stats[:, 1].reshape(n, num_groups, cpg).sum(-1)
+    gmean = gsum / count
+    gvar = gss / count - gmean * gmean
+    ginv = jax.lax.rsqrt(gvar + 1e-5)
+    mean_c = jnp.repeat(gmean, cpg, axis=-1)                   # (N, C)
+    inv_c = jnp.repeat(ginv, cpg, axis=-1)
+
     out = pl.pallas_call(
         _norm_kernel,
         grid=(n, nb),
         in_specs=[
             pl.BlockSpec((1, block_spatial, c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, num_groups, 2), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_spatial, c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
         interpret=interpret,
-    )(xf, stats, scale.astype(jnp.float32), bias.astype(jnp.float32), count)
+    )(xf, mean_c, inv_c, scale.astype(jnp.float32)[None], bias.astype(jnp.float32)[None])
 
     if pad:
         out = out[:, :s]

@@ -59,6 +59,10 @@ class StepConfig:
     ramp_until: int = flax.struct.field(pytree_node=False, default=50)
     weight_feature_max: float = flax.struct.field(pytree_node=False, default=0.1)
     compute_dtype: Any = flax.struct.field(pytree_node=False, default=jnp.float32)
+    # route the voxel-domain GN->ReLU pre-activations through the fused
+    # Pallas kernel (ops/pallas/fused_gn_relu.py). Applied globally via
+    # ops.norm.set_fused_gn_relu at step/predictor build time.
+    pallas_gn: bool = flax.struct.field(pytree_node=False, default=False)
 
 
 @flax.struct.dataclass

@@ -243,5 +243,9 @@ def build_step_body(model, refiner, disc, cfg: StepConfig, axis_name: str | None
 def make_train_step(model, refiner, disc, cfg: StepConfig):
     """Single-device fused train step: the whole reference iteration as one
     jit'd program with donated state."""
+    if cfg.pallas_gn:
+        from multimodal_pl_tpu.ops.norm import set_fused_gn_relu
+
+        set_fused_gn_relu(True)
     body = build_step_body(model, refiner, disc, cfg, axis_name=None)
     return jax.jit(body, donate_argnums=(0,))

@@ -29,3 +29,38 @@ def test_fused_gn_relu_blocking_invariance(rng):
     a = fused_group_norm_relu(x, scale, bias, 16, block_spatial=32, interpret=True)
     b = fused_group_norm_relu(x, scale, bias, 16, block_spatial=128, interpret=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_model_with_pallas_gn_flag_matches(rng):
+    """set_fused_gn_relu routes every voxel-domain GN->ReLU pre-activation
+    through the kernel (interpret mode off-TPU): forward AND gradients of a
+    real block stack must match the flag-off path (the custom VJP recomputes
+    the standard formula)."""
+    from multimodal_pl_tpu.models.blocks import ResStage
+    from multimodal_pl_tpu.ops.norm import set_fused_gn_relu
+
+    x = jnp.asarray(rng.standard_normal((1, 4, 8, 8, 32)).astype(np.float32))
+    model = ResStage(features=64, blocks=1, stride=2, weight_std=True)
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    def loss(p, x):
+        return jnp.sum(model.apply(p, x) ** 2)
+
+    want, wgrads = jax.value_and_grad(loss)(params, x)
+    try:
+        set_fused_gn_relu(True)
+        got, ggrads = jax.value_and_grad(loss)(params, x)
+    finally:
+        set_fused_gn_relu(False)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    # grads compare by relative Frobenius norm: the kernel's one-pass
+    # variance rounds differently from XLA's two-pass, flipping the relu
+    # mask on the ~0.2% of voxels sitting exactly at the threshold — an
+    # elementwise comparison is ill-posed there, the aggregate is tight
+    for (pa, la), (pb, lb) in zip(
+        jax.tree_util.tree_flatten_with_path(wgrads)[0],
+        jax.tree_util.tree_flatten_with_path(ggrads)[0],
+    ):
+        a, b = np.asarray(la), np.asarray(lb)
+        rel = np.linalg.norm(b - a) / max(np.linalg.norm(a), 1e-12)
+        assert rel < 5e-4, f"{jax.tree_util.keystr(pa)}: rel grad norm {rel:.2e}"
