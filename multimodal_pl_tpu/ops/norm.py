@@ -11,6 +11,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def group_norm(
@@ -28,15 +29,24 @@ def group_norm(
     c = orig_shape[-1]
     assert c % num_groups == 0, f"channels {c} not divisible by groups {num_groups}"
     n = orig_shape[0]
-    spatial = orig_shape[1:-1]
-    xg = x.reshape(n, -1, num_groups, c // num_groups)
-    # stats per (n, group) over (spatial, c_per_group), always in f32 so a
-    # bf16 compute policy doesn't destabilize the normalization
-    xf = xg.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
-    xg = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
-    out = xg.reshape(n, *spatial, c)
+    cpg = c // num_groups
+    sp_axes = tuple(range(1, x.ndim - 1))
+    bshape = (n,) + (1,) * (x.ndim - 2) + (c,)
+    cnt = float(np.prod(orig_shape[1:-1]) * cpg)
+    # Stats per (n, group) over (spatial, c_per_group), always in f32 so a
+    # bf16 compute policy doesn't destabilize the normalization. Reductions
+    # go per-CHANNEL first (spatial axes only — no lane-splitting reshape of
+    # the big tensor, which costs a TPU relayout) and pool groups on the tiny
+    # (n, c) partials; two-pass moments as before.
+    xf = x.astype(jnp.float32)
+    csum = jnp.sum(xf, axis=sp_axes)                              # (n, c)
+    gmean = csum.reshape(n, num_groups, cpg).sum(-1) / cnt        # (n, G)
+    mean_c = jnp.repeat(gmean, cpg, axis=-1).reshape(bshape)
+    dev = xf - mean_c
+    css = jnp.sum(jnp.square(dev), axis=sp_axes)                  # (n, c)
+    gvar = css.reshape(n, num_groups, cpg).sum(-1) / cnt
+    inv_c = jnp.repeat(jax.lax.rsqrt(gvar + eps), cpg, axis=-1).reshape(bshape)
+    out = (dev * inv_c).astype(x.dtype)
     return out * scale + bias
 
 

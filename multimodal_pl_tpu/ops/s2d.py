@@ -115,12 +115,32 @@ def _tap_map_s2(packing: str) -> np.ndarray:
     return t
 
 
+_TT_S1 = None  # cached combined (27, 512) 0/1 tap map
+
+
+def _combined_tap_map_s1() -> np.ndarray:
+    """TT[(a,b,c), (m,n,l,s,t,u,p,q,r)]: voxel tap -> (block tap, in-slot,
+    out-slot) placement, the 3-axis product of _tap_map_s1 flattened to one
+    (27, 512) constant so kernel assembly is ONE tiny matmul instead of three
+    chained tiny-dim dot_generals (measured ~6 ms/conv of pure overhead on
+    v5e — more than the conv itself)."""
+    global _TT_S1
+    if _TT_S1 is None:
+        t = _tap_map_s1()  # (3, 2, 2, 2) [k, p, m, s]
+        tt = np.einsum("apms,bqnt,crlu->abcmnlstupqr", t, t, t)
+        _TT_S1 = np.ascontiguousarray(tt.reshape(27, 512), np.float32)
+    return _TT_S1
+
+
 def assemble_kernel_s1(w: jax.Array) -> jax.Array:
     """(3,3,3,ci,co) -> (2,2,2,8ci,8co) block-domain kernel (stride 1; used
     for both a2s and s2a directions)."""
     ci, co = w.shape[3], w.shape[4]
-    t = jnp.asarray(_tap_map_s1(), w.dtype)
-    wp = jnp.einsum("abcio,apms,bqnt,crlu->mnlstuipqro", w, t, t, t)
+    tt = jnp.asarray(_combined_tap_map_s1(), w.dtype)
+    # (512, 27) @ (27, ci*co) -> (m,n,l,s,t,u,p,q,r, i, o)
+    wp = (tt.T @ w.reshape(27, ci * co)).reshape(2, 2, 2, 2, 2, 2, 2, 2, 2, ci, co)
+    # -> (m, n, l, (s,t,u,i), (p,q,r,o))
+    wp = wp.transpose(0, 1, 2, 3, 4, 5, 9, 6, 7, 8, 10)
     return wp.reshape(2, 2, 2, 8 * ci, 8 * co)
 
 
@@ -136,12 +156,26 @@ def _tap_map_k4s2() -> np.ndarray:
     return t
 
 
+def _combined_strided_map(t: np.ndarray) -> np.ndarray:
+    """(k, m, s) per-axis tap map -> flat ((k^3), (m^3 * 8)) 0/1 constant
+    (same one-matmul assembly trick as _combined_tap_map_s1)."""
+    tt = np.einsum("ams,bnt,clu->abcmnlstu", t, t, t)
+    k, m = t.shape[0], t.shape[1]
+    return np.ascontiguousarray(tt.reshape(k ** 3, m ** 3 * 8), np.float32)
+
+
+_TT_K4S2 = None
+
+
 def assemble_kernel_k4s2(w: jax.Array) -> jax.Array:
     """(4,4,4,ci,co) voxel kernel -> (3,3,3,8ci,co) aligned-block stride-2
     kernel (half-resolution voxel output)."""
+    global _TT_K4S2
+    if _TT_K4S2 is None:
+        _TT_K4S2 = _combined_strided_map(_tap_map_k4s2())
     ci, co = w.shape[3], w.shape[4]
-    t = jnp.asarray(_tap_map_k4s2(), w.dtype)
-    wp = jnp.einsum("abcio,ams,bnt,clu->mnlstuio", w, t, t, t)
+    tt = jnp.asarray(_TT_K4S2, w.dtype)
+    wp = (tt.T @ w.reshape(64, ci * co)).reshape(3, 3, 3, 2, 2, 2, ci, co)
     return wp.reshape(3, 3, 3, 8 * ci, co)
 
 
@@ -156,13 +190,44 @@ def s2d_conv4x4(xb: jax.Array, w: jax.Array, bias: jax.Array | None = None) -> j
     return out
 
 
+_TT_S2 = {}
+
+
 def assemble_kernel_s2(w: jax.Array, packing: str = "s") -> jax.Array:
     """(3,3,3,ci,co) -> (2,2,2,8ci,co) stride-2 kernel (block input ->
     half-resolution voxel output)."""
+    if packing not in _TT_S2:
+        _TT_S2[packing] = _combined_strided_map(_tap_map_s2(packing))
     ci, co = w.shape[3], w.shape[4]
-    t = jnp.asarray(_tap_map_s2(packing), w.dtype)
-    wp = jnp.einsum("abcio,ams,bnt,clu->mnlstuio", w, t, t, t)
+    tt = jnp.asarray(_TT_S2[packing], w.dtype)
+    wp = (tt.T @ w.reshape(27, ci * co)).reshape(2, 2, 2, 2, 2, 2, ci, co)
     return wp.reshape(2, 2, 2, 8 * ci, co)
+
+
+# Alternative stride-1 k2 lowering: explicit im2col (concat 8 shifted views,
+# one K=8*8ci matmul). The matmul alone hits 113 TFLOP/s vs conv_general's 80
+# on v5e, but MATERIALIZING the 8x view tensor costs more than the matmul
+# saves (13.6 vs 7.8 ms end-to-end at the 256ch (32,96,96) grid), so
+# conv_general stays the default; the im2col path is kept for the Pallas
+# fused-gather variant to compare against.
+_K2_IM2COL = False
+
+
+def _k2_conv_im2col(xb: jax.Array, wp: jax.Array, pad: int) -> jax.Array:
+    """k2 stride-1 conv as ONE matmul: concatenate the 8 shifted views on the
+    channel axis (K = 8 * C_in) and contract against the flattened kernel.
+    pad: symmetric spatial zero padding (1 for a2s, 0 for s2a)."""
+    if pad:
+        xb = jnp.pad(xb, [(0, 0)] + [(pad, pad)] * 3 + [(0, 0)])
+    b, d, h, w, c = xb.shape
+    od, oh, ow = d - 1, h - 1, w - 1
+    views = [
+        lax.slice(xb, (0, a, b2, c2, 0), (b, od + a, oh + b2, ow + c2, c))
+        for a in (0, 1) for b2 in (0, 1) for c2 in (0, 1)
+    ]
+    xx = jnp.concatenate(views, axis=-1)          # (B, od, oh, ow, 8C)
+    return jnp.einsum("bdhwk,ko->bdhwo", xx, wp.reshape(8 * c, -1),
+                      preferred_element_type=xb.dtype)
 
 
 def s2d_conv3x3(xb: jax.Array, w: jax.Array, packing: str,
@@ -178,10 +243,15 @@ def s2d_conv3x3(xb: jax.Array, w: jax.Array, packing: str,
     if stride == 2:
         wp = assemble_kernel_s2(w, packing).astype(xb.dtype)
         pad = [(0, 0)] * 3 if packing == "s" else [(1, 0)] * 3
+        out = lax.conv_general_dilated(xb, wp, (1, 1, 1), pad, dimension_numbers=_DN)
     else:
         wp = assemble_kernel_s1(w).astype(xb.dtype)
-        pad = [(1, 1)] * 3 if packing == "a" else [(0, 0)] * 3
-    out = lax.conv_general_dilated(xb, wp, (1, 1, 1), pad, dimension_numbers=_DN)
+        if _K2_IM2COL:
+            out = _k2_conv_im2col(xb, wp, 1 if packing == "a" else 0)
+        else:
+            pad = [(1, 1)] * 3 if packing == "a" else [(0, 0)] * 3
+            out = lax.conv_general_dilated(xb, wp, (1, 1, 1), pad,
+                                           dimension_numbers=_DN)
     if bias is not None:
         out = out + (jnp.tile(bias, 8) if stride == 1 else bias)
     return out
@@ -231,6 +301,25 @@ def _shifted_interior_mask(spatial, dtype) -> jax.Array:
     return jnp.asarray(full, dtype)
 
 
+def _interior_select(xb: jax.Array, c: int):
+    """Boolean interior mask of a SHIFTED block tensor, expressed as fused
+    iota comparisons over (spatial, lane) — no materialized mask constant and
+    no lane-splitting reshape of the data tensor. Lane ch = pos*C + c with
+    pos = (pd, ph, pw); per axis, (block 0, slot 0) and (block n-1, slot 1)
+    are out of range."""
+    d, h, w = xb.shape[1:4]
+    lane = lax.broadcasted_iota(jnp.int32, xb.shape, 4)
+    pd = lane // (4 * c)
+    ph = (lane // (2 * c)) % 2
+    pw = (lane // c) % 2
+    di = lax.broadcasted_iota(jnp.int32, xb.shape, 1)
+    hi = lax.broadcasted_iota(jnp.int32, xb.shape, 2)
+    wi = lax.broadcasted_iota(jnp.int32, xb.shape, 3)
+    return (((di > 0) | (pd == 1)) & ((di < d - 1) | (pd == 0))
+            & ((hi > 0) | (ph == 1)) & ((hi < h - 1) | (ph == 0))
+            & ((wi > 0) | (pw == 1)) & ((wi < w - 1) | (pw == 0)))
+
+
 def s2d_group_norm(xb: jax.Array, scale: jax.Array, bias: jax.Array,
                    num_groups: int, eps: float = 1e-5,
                    packing: str = "a") -> jax.Array:
@@ -242,30 +331,43 @@ def s2d_group_norm(xb: jax.Array, scale: jax.Array, bias: jax.Array,
     packing, the out-of-range boundary slabs are excluded from the statistics
     (two-pass masked moments) and the output is zeroed there, restoring the
     voxel conv's 'SAME' zero padding for the next conv.
+
+    Like ops/norm.group_norm, reductions go per block-channel first (spatial
+    axes only — a lane-splitting reshape of the data tensor costs a TPU
+    relayout; measured 9.4 -> ~3 ms for the masked form at the 256ch
+    (33,97,97) grid) and groups pool on the tiny (B, 8C) partials.
     """
     b = xb.shape[0]
-    c = xb.shape[-1] // 8
+    c8 = xb.shape[-1]
+    c = c8 // 8
     cpg = c // num_groups
     spatial = xb.shape[1:4]
-    v = xb.reshape(b, -1, 8, num_groups, cpg).astype(jnp.float32)
+    scale_b = jnp.tile(scale, 8).astype(xb.dtype)
+    bias_b = jnp.tile(bias, 8).astype(xb.dtype)
+    bshape = (b, 1, 1, 1, c8)
+
+    def expand(g):  # (b, G) group stats -> (b, 1, 1, 1, 8C) broadcast rows
+        return jnp.tile(jnp.repeat(g, cpg, axis=-1), (1, 8)).reshape(bshape)
+
+    def pool(cs):  # (b, 8C) channel partials -> (b, G)
+        return cs.reshape(b, 8, num_groups, cpg).sum(axis=(1, 3))
+
+    xf = xb.astype(jnp.float32)
     if packing == "s":
-        mask = _shifted_interior_mask(spatial, jnp.float32)
-        mf = mask.reshape(1, -1, 8, 1, 1)
+        interior = _interior_select(xb, c)
         n_true = float(np.prod([2 * (s - 1) for s in spatial])) * cpg
-        v = v * mf
-        mean = jnp.sum(v, axis=(1, 2, 4), keepdims=True) / n_true
-        dev = (v - mean) * mf
-        var = jnp.sum(jnp.square(dev), axis=(1, 2, 4), keepdims=True) / n_true
-        v = (dev * lax.rsqrt(var + eps)).astype(xb.dtype)  # zero at slabs
-        v = v * scale.reshape(num_groups, cpg).astype(xb.dtype)
-        v = v + bias.reshape(num_groups, cpg).astype(xb.dtype) * mf.astype(xb.dtype)
-    else:
-        mean = jnp.mean(v, axis=(1, 2, 4), keepdims=True)
-        var = jnp.mean(jnp.square(v - mean), axis=(1, 2, 4), keepdims=True)
-        v = ((v - mean) * lax.rsqrt(var + eps)).astype(xb.dtype)
-        v = v * scale.reshape(num_groups, cpg).astype(xb.dtype)
-        v = v + bias.reshape(num_groups, cpg).astype(xb.dtype)
-    return v.reshape(b, *spatial, 8 * c)
+        xm = jnp.where(interior, xf, 0.0)
+        gmean = pool(jnp.sum(xm, axis=(1, 2, 3))) / n_true
+        dev = jnp.where(interior, xf - expand(gmean), 0.0)
+        gvar = pool(jnp.sum(jnp.square(dev), axis=(1, 2, 3))) / n_true
+        v = (dev * expand(lax.rsqrt(gvar + eps))).astype(xb.dtype)
+        return jnp.where(interior, v * scale_b + bias_b, jnp.zeros((), xb.dtype))
+    n_tot = float(np.prod(spatial)) * 8 * cpg  # blocks * positions * cpg
+    gmean = pool(jnp.sum(xf, axis=(1, 2, 3))) / n_tot
+    dev = xf - expand(gmean)
+    gvar = pool(jnp.sum(jnp.square(dev), axis=(1, 2, 3))) / n_tot
+    v = (dev * expand(lax.rsqrt(gvar + eps))).astype(xb.dtype)
+    return v * scale_b + bias_b
 
 
 def s2d_upsample_trilinear(x: jax.Array, packing: str = "a") -> jax.Array:
