@@ -64,3 +64,56 @@ def test_model_with_pallas_gn_flag_matches(rng):
         a, b = np.asarray(la), np.asarray(lb)
         rel = np.linalg.norm(b - a) / max(np.linalg.norm(a), 1e-12)
         assert rel < 5e-4, f"{jax.tree_util.keystr(pa)}: rel grad norm {rel:.2e}"
+
+
+class TestK2Conv:
+    """Pallas fused-gather k2 block conv (ops/pallas/k2_conv.py) vs XLA
+    conv_general, interpret mode."""
+
+    def _patched(self):
+        import functools
+        from jax.experimental import pallas as pl
+        return functools.partial(pl.pallas_call, interpret=True)
+
+    def test_forward_matches_conv(self, rng, monkeypatch):
+        from jax.experimental import pallas as pl
+        import multimodal_pl_tpu.ops.pallas.k2_conv as K
+        monkeypatch.setattr(pl, "pallas_call", self._patched())
+
+        x = jnp.asarray(rng.standard_normal((2, 4, 17, 17, 16)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((2, 2, 2, 16, 24)).astype(np.float32))
+        for pad in (0, 1):
+            got = K.k2_conv(x, w, pad=pad)
+            xp = jnp.pad(x, [(0, 0)] + [(pad, pad)] * 3 + [(0, 0)]) if pad else x
+            want = K._k2_valid_xla(xp, w)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_gradients_match_conv(self, rng, monkeypatch):
+        from jax.experimental import pallas as pl
+        import multimodal_pl_tpu.ops.pallas.k2_conv as K
+        monkeypatch.setattr(pl, "pallas_call", self._patched())
+
+        x = jnp.asarray(rng.standard_normal((1, 3, 17, 17, 8)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((2, 2, 2, 8, 8)).astype(np.float32))
+
+        def loss_pallas(x, w):
+            return jnp.sum(K.k2_conv(x, w, pad=1) ** 2)
+
+        def loss_xla(x, w):
+            xp = jnp.pad(x, [(0, 0)] + [(1, 1)] * 3 + [(0, 0)])
+            return jnp.sum(K._k2_valid_xla(xp, w) ** 2)
+
+        ga = jax.grad(loss_pallas, argnums=(0, 1))(x, w)
+        gb = jax.grad(loss_xla, argnums=(0, 1))(x, w)
+        for a, b, nm in [(ga[0], gb[0], "dx"), (ga[1], gb[1], "dw")]:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4, err_msg=nm)
+
+    def test_tiny_shapes_fall_back(self, rng):
+        import multimodal_pl_tpu.ops.pallas.k2_conv as K
+        x = jnp.asarray(rng.standard_normal((1, 3, 5, 5, 8)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((2, 2, 2, 8, 8)).astype(np.float32))
+        got = K.k2_conv(x, w, pad=0)  # wo < 8 -> XLA path, no pallas
+        want = K._k2_valid_xla(x, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
