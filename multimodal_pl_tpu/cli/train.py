@@ -81,6 +81,9 @@ def get_arguments() -> argparse.ArgumentParser:
     p.add_argument("--pallas_gn", type=str2bool, default=False,
                    help="fused Pallas GN->ReLU kernel for the voxel-domain "
                         "pre-activations (ops/pallas/fused_gn_relu.py)")
+    p.add_argument("--pallas_k2", type=str2bool, default=False,
+                   help="Pallas fused-gather kernel for the s2d block-domain "
+                        "stride-1 k2 convs (ops/pallas/k2_conv.py)")
     p.add_argument("--cache_data", type=str2bool, default=False,
                    help="memoize prepared volumes (NIfTI read + atlas resize + "
                         "pad/truncate) in host RAM — ~0.5 GB/case at the AMOS "
@@ -121,6 +124,7 @@ def main(argv=None):
         remat=args.remat,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         pallas_gn=args.pallas_gn,
+        pallas_k2=args.pallas_k2,
     )
     state = create_train_state(rng, scfg)
     if args.reload_from_checkpoint:

@@ -86,6 +86,8 @@ def _k2_valid_pallas(x, w, th: int, wo: int):
             pltpu.VMEM((th * wo, n), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
+        # off-TPU (CPU tests) run the same code path interpreted
+        interpret=jax.default_backend() != "tpu",
     )(x, w)
     return out.reshape(bsz, do, ho, wo, n)
 
@@ -145,8 +147,11 @@ def k2_conv(x, w, pad: int = 0, th: int = 8):
     if pad:
         x = jnp.pad(x, [(0, 0)] + [(pad, pad)] * 3 + [(0, 0)])
     bsz, di, hi, wi, k = x.shape
+    n = w.shape[-1]
     do, ho, wo = di - 1, hi - 1, wi - 1
-    if do < 1 or ho < th or wo < 8:
+    # Mosaic requires the HBM->VMEM band DMA's lane (last) dim 128-aligned;
+    # tiny-channel convs (e.g. the 8-channel s2d stem) go through XLA.
+    if do < 1 or ho < th or wo < 8 or k % 128 or n % 128:
         return _k2_valid_xla(x, w)
     wo_k = -(-wo // 8) * 8              # kernel's output cols (8-aligned)
     wi_k = -(-(wo_k + 1) // 8) * 8      # DMA band width (8-aligned, > wo_k)

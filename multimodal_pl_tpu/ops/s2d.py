@@ -212,6 +212,21 @@ def assemble_kernel_s2(w: jax.Array, packing: str = "s") -> jax.Array:
 # fused-gather variant to compare against.
 _K2_IM2COL = False
 
+# Pallas fused-gather k2 kernel (ops/pallas/k2_conv.py): forms the 8 shifted
+# views in VMEM, capturing the im2col matmul win without the HBM
+# materialization. Trace-time switch like norm.set_fused_gn_relu; enabled via
+# StepConfig.pallas_k2 / --pallas_k2.
+_K2_PALLAS = False
+
+
+def set_k2_pallas(enabled: bool) -> None:
+    global _K2_PALLAS
+    _K2_PALLAS = bool(enabled)
+
+
+def k2_pallas_enabled() -> bool:
+    return _K2_PALLAS
+
 
 def _k2_conv_im2col(xb: jax.Array, wp: jax.Array, pad: int) -> jax.Array:
     """k2 stride-1 conv as ONE matmul: concatenate the 8 shifted views on the
@@ -246,7 +261,11 @@ def s2d_conv3x3(xb: jax.Array, w: jax.Array, packing: str,
         out = lax.conv_general_dilated(xb, wp, (1, 1, 1), pad, dimension_numbers=_DN)
     else:
         wp = assemble_kernel_s1(w).astype(xb.dtype)
-        if _K2_IM2COL:
+        if _K2_PALLAS:
+            from multimodal_pl_tpu.ops.pallas.k2_conv import k2_conv
+
+            out = k2_conv(xb, wp, pad=1 if packing == "a" else 0)
+        elif _K2_IM2COL:
             out = _k2_conv_im2col(xb, wp, 1 if packing == "a" else 0)
         else:
             pad = [(1, 1)] * 3 if packing == "a" else [(0, 0)] * 3

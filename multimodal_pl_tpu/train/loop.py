@@ -173,10 +173,13 @@ def train_loop(state: TrainState, step_fn, model, train_ds: AMOSDataset,
             # per-organ tables (reference train:516-540 prints these per round)
             print("  CT  organ dice: " + " ".join(f"{v:.3f}" for v in ct))
             print("  MRI organ dice: " + " ".join(f"{v:.3f}" for v in mri))
-            if r1 > best or epoch % 100 == 0:
-                if r1 > best:
-                    best = r1
-                save_checkpoint(cfg.snapshot_dir, state, int(state.step))
+            # checkpoint at every validation epoch: the reference only saves
+            # on improvement (train:436-439), but long runs with a flat
+            # early metric would then lose hours on interruption — resume
+            # cost beats strict parity here
+            if r1 > best:
+                best = r1
+            save_checkpoint(cfg.snapshot_dir, state, int(state.step))
 
     save_checkpoint(cfg.snapshot_dir, state, int(state.step))
     logger.close()

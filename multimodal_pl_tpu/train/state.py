@@ -63,6 +63,10 @@ class StepConfig:
     # Pallas kernel (ops/pallas/fused_gn_relu.py). Applied globally via
     # ops.norm.set_fused_gn_relu at step/predictor build time.
     pallas_gn: bool = flax.struct.field(pytree_node=False, default=False)
+    # route s2d block-domain stride-1 k2 convs through the Pallas
+    # fused-gather kernel (ops/pallas/k2_conv.py). Applied globally via
+    # ops.s2d.set_k2_pallas at step/predictor build time.
+    pallas_k2: bool = flax.struct.field(pytree_node=False, default=False)
 
 
 @flax.struct.dataclass

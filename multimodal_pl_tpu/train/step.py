@@ -51,6 +51,15 @@ def _weighted_ce_const(logits, weights, label: int):
     return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+def _apply_pallas_flags(cfg: StepConfig) -> None:
+    """Trace-time Pallas routing switches (read inside model code)."""
+    from multimodal_pl_tpu.ops.norm import set_fused_gn_relu
+    from multimodal_pl_tpu.ops.s2d import set_k2_pallas
+
+    set_fused_gn_relu(cfg.pallas_gn)
+    set_k2_pallas(cfg.pallas_k2)
+
+
 def build_step_body(model, refiner, disc, cfg: StepConfig, axis_name: str | None = None):
     """Unjitted step body: step(state, batch, lr, weight_feature) ->
     (state, metrics).
@@ -69,6 +78,7 @@ def build_step_body(model, refiner, disc, cfg: StepConfig, axis_name: str | None
     lr: segmenter/refiner learning rate (poly-scheduled by the caller);
     weight_feature: pseudo-label ramp weight (0 during pretrain).
     """
+    _apply_pallas_flags(cfg)
     nfg = cfg.num_classes - 1
 
     def seg_losses(params, rparams, state, batch, weight_feature):
@@ -243,9 +253,5 @@ def build_step_body(model, refiner, disc, cfg: StepConfig, axis_name: str | None
 def make_train_step(model, refiner, disc, cfg: StepConfig):
     """Single-device fused train step: the whole reference iteration as one
     jit'd program with donated state."""
-    if cfg.pallas_gn:
-        from multimodal_pl_tpu.ops.norm import set_fused_gn_relu
-
-        set_fused_gn_relu(True)
     body = build_step_body(model, refiner, disc, cfg, axis_name=None)
     return jax.jit(body, donate_argnums=(0,))

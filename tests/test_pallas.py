@@ -110,6 +110,31 @@ class TestK2Conv:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-4, err_msg=nm)
 
+    def test_s2d_conv3x3_flag_routes_through_kernel(self, rng):
+        """set_k2_pallas makes s2d_conv3x3(stride=1) use the Pallas kernel
+        (interpret mode off-TPU): forward and gradients must match the
+        conv_general lowering for both packings."""
+        from multimodal_pl_tpu.ops import s2d
+
+        xb = jnp.asarray(rng.standard_normal((1, 4, 9, 9, 24)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((3, 3, 3, 3, 5)).astype(np.float32))
+        for packing in ("a", "s"):
+            def loss(xb, w):
+                return jnp.sum(s2d.s2d_conv3x3(xb, w, packing) ** 2)
+
+            want, wg = jax.value_and_grad(loss, argnums=(0, 1))(xb, w)
+            try:
+                s2d.set_k2_pallas(True)
+                got, gg = jax.value_and_grad(loss, argnums=(0, 1))(xb, w)
+            finally:
+                s2d.set_k2_pallas(False)
+            np.testing.assert_allclose(float(got), float(want), rtol=1e-4,
+                                       err_msg=packing)
+            for a, b, nm in [(wg[0], gg[0], "dx"), (wg[1], gg[1], "dw")]:
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-3, atol=1e-3,
+                                           err_msg=f"{packing}:{nm}")
+
     def test_tiny_shapes_fall_back(self, rng):
         import multimodal_pl_tpu.ops.pallas.k2_conv as K
         x = jnp.asarray(rng.standard_normal((1, 3, 5, 5, 8)).astype(np.float32))
