@@ -45,7 +45,9 @@ def get_arguments() -> argparse.ArgumentParser:
     p.add_argument("--bf16", type=str2bool, default=True,
                    help="bfloat16 tile compute (f32 Gaussian blend)")
     p.add_argument("--mesh", type=str, default="",
-                   help="shard windows over a device mesh, e.g. 'data:8' — "
+                   help="device mesh: 'data:N' shards windows (DP); "
+                        "'space:N' splits each window's H axis across chips "
+                        "via GSPMD (volumetric model parallelism) — "
                         "the TPU-native equivalent of the reference's "
                         "nn.DataParallel eval (evaluate_amos.py:580)")
     return p
@@ -128,7 +130,20 @@ def main(argv=None):
 
     state = states[0]
     compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    if args.mesh:
+    if args.mesh and "space" in args.mesh:
+        # volumetric model parallelism: each window's H axis is split over
+        # the mesh and GSPMD partitions the network forward (halo exchanges,
+        # cross-slab GN reductions) across chips — for tiles too large for
+        # one chip's HBM
+        from multimodal_pl_tpu.parallel.mesh import make_mesh
+        from multimodal_pl_tpu.parallel.spatial import spatial_sharding
+
+        mesh = make_mesh(args.mesh)
+        predictor = SlidingWindowPredictor(
+            fwd, (d, h, w), args.num_classes, window_batch=args.window_batch,
+            tta=args.tta, compute_dtype=compute_dtype,
+            tile_sharding=spatial_sharding(mesh))
+    elif args.mesh:
         from multimodal_pl_tpu.parallel.mesh import make_mesh
         from multimodal_pl_tpu.parallel.sharded_infer import (
             ShardedSlidingWindowPredictor,

@@ -97,14 +97,19 @@ class SlidingWindowPredictor:
     def __init__(self, apply_fn: Callable, tile: Sequence[int], num_classes: int,
                  window_batch: int = 2, tta: bool = False,
                  bucket: Sequence[int] = (32, 64, 64), overlap: float = 0.25,
-                 dtype=jnp.float32, compute_dtype=None, transfer_dtype=None):
+                 dtype=jnp.float32, compute_dtype=None, transfer_dtype=None,
+                 tile_sharding=None):
         """dtype: accumulation dtype for the Gaussian blend (keep f32);
         compute_dtype: dtype tiles are cast to before the network (bf16 halves
         HBM pressure on TPU — small-channel stages pad 4x under (8,128) tiling,
         so full-res activations dominate memory);
         transfer_dtype: dtype the volume ships to the device in (defaults to
         compute_dtype — bit-identical to shipping f32 and casting on device,
-        at half the host->device bytes)."""
+        at half the host->device bytes);
+        tile_sharding: optional NamedSharding constraining the (wb, *tile, 1)
+        window batch — e.g. parallel.spatial.spatial_sharding(mesh) splits
+        each window's H axis over a 'space' mesh so GSPMD partitions the
+        network forward across chips (volumetric model parallelism)."""
         self.apply_fn = apply_fn
         self.tile = tuple(tile)
         self.num_classes = num_classes
@@ -115,6 +120,7 @@ class SlidingWindowPredictor:
         self.dtype = dtype
         self.compute_dtype = compute_dtype or dtype
         self.transfer_dtype = transfer_dtype or self.compute_dtype
+        self.tile_sharding = tile_sharding
         self.gaussian = jnp.asarray(gaussian_importance_map(self.tile))[..., None]
         self._jitted = {}
         self._pad_jitted = {}
@@ -152,6 +158,8 @@ class SlidingWindowPredictor:
                 full, count = carry
                 tiles = jax.vmap(lambda s: gather(vol, s))(batch_starts)  # (wb, *tile, 1)
                 tiles = tiles.astype(self.compute_dtype)
+                if self.tile_sharding is not None:
+                    tiles = jax.lax.with_sharding_constraint(tiles, self.tile_sharding)
                 if self.tta:
                     logits = _tta_forward(net, tiles)
                 else:

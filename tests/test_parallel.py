@@ -253,3 +253,60 @@ def test_sliding_params_as_dynamic_args(rng):
     a = SlidingWindowPredictor(apply_with_params, tile, 3)(vol, w)
     b = SlidingWindowPredictor(apply_closure, tile, 3)(vol)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
+def test_spatial_gspmd_forward_matches_single_device(rng):
+    """GSPMD spatial sharding (parallel/spatial.py): the flagship eval
+    forward with activations sharded along H over a space:8 mesh must match
+    the unsharded forward — XLA inserts the conv halo exchanges and
+    cross-slab GroupNorm reductions itself."""
+    from multimodal_pl_tpu.models import UNet3DFEAM, init_class_tokens
+    from multimodal_pl_tpu.parallel.spatial import make_spatial_apply, put_spatial
+
+    NC = 14
+    model = UNet3DFEAM(num_classes=NC, weight_std=True, deep_up=False)
+    tokens = init_class_tokens(jax.random.PRNGKey(1), NC)
+    x = jnp.asarray(rng.standard_normal((1, 16, 32, 32, 1)).astype(np.float32))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, tokens)
+
+    def fwd(params, x, tokens):
+        return model.apply(params, x, tokens)[0]
+
+    want = jax.jit(fwd)(params, x, tokens)
+
+    mesh = make_mesh("space:8", cpu_devices())
+    sharded_fwd = make_spatial_apply(fwd, mesh, axis="space", spatial="H")
+    got = sharded_fwd(params, put_spatial(x, mesh), tokens)
+    assert got.sharding.spec == P(None, None, "space", None, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_sliding_with_spatial_tile_sharding_matches(rng):
+    """The evaluate CLI's --mesh space:N path: SlidingWindowPredictor with a
+    tile_sharding constraint (each window's H split over the mesh) must match
+    the unsharded predictor bit-for-bit up to reduction order."""
+    from multimodal_pl_tpu.infer.sliding import SlidingWindowPredictor
+    from multimodal_pl_tpu.models import UNet3DFEAM, init_class_tokens
+    from multimodal_pl_tpu.parallel.spatial import spatial_sharding
+
+    NC = 14
+    tile = (16, 32, 32)
+    model = UNet3DFEAM(num_classes=NC, weight_std=True, deep_up=False)
+    tokens = init_class_tokens(jax.random.PRNGKey(1), NC)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, *tile, 1)), tokens)
+
+    def fwd(tiles, params, tokens):
+        return model.apply(params, tiles, tokens)[0]
+
+    vol = rng.standard_normal((16, 48, 48)).astype(np.float32)
+    mesh = make_mesh("space:8", cpu_devices())
+    plain = SlidingWindowPredictor(fwd, tile, NC, window_batch=2,
+                                   bucket=(16, 16, 16))
+    spatial = SlidingWindowPredictor(fwd, tile, NC, window_batch=2,
+                                     bucket=(16, 16, 16),
+                                     tile_sharding=spatial_sharding(mesh))
+    np.testing.assert_allclose(np.asarray(spatial(vol, params, tokens)),
+                               np.asarray(plain(vol, params, tokens)),
+                               rtol=2e-4, atol=1e-5)
