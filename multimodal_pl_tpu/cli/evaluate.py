@@ -44,6 +44,10 @@ def get_arguments() -> argparse.ArgumentParser:
     p.add_argument("--deep_up", type=str2bool, default=True)
     p.add_argument("--bf16", type=str2bool, default=True,
                    help="bfloat16 tile compute (f32 Gaussian blend)")
+    p.add_argument("--pallas_k2", type=str2bool, default=True,
+                   help="Pallas fused-gather k2 conv for the s2d block-domain "
+                        "stages (-27%% on the tile forward on v5e; TPU only — "
+                        "ignored on other backends)")
     p.add_argument("--mesh", type=str, default="",
                    help="device mesh: 'data:N' shards windows (DP); "
                         "'space:N' splits each window's H axis across chips "
@@ -109,6 +113,15 @@ def main(argv=None):
             else:
                 print(f"File not exists in the reload path: {pth}")
         states.append(state)
+
+    if args.pallas_k2:
+        import jax as _jax
+
+        from multimodal_pl_tpu.ops.s2d import set_k2_pallas
+
+        # TPU-only: other backends fall back to interpret mode, which is
+        # orders of magnitude slower than the XLA lowering
+        set_k2_pallas(_jax.default_backend() == "tpu")
 
     model = UNet3DFEAM(num_classes=args.num_classes, weight_std=args.weight_std,
                        deep_up=args.deep_up)

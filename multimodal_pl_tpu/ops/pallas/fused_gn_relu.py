@@ -42,10 +42,11 @@ def _stats_kernel(x_ref, out_ref):
 
 
 def _norm_kernel(x_ref, mean_ref, inv_ref, scale_ref, bias_ref, out_ref):
-    """Elementwise: relu((x - mean_c) * inv_c * scale + bias) with (1, C)
-    per-channel broadcast rows (group stats pre-pooled outside)."""
+    """Elementwise: relu((x - mean_c) * inv_c * scale + bias) with (1, 1, C)
+    per-channel broadcast rows (group stats pre-pooled outside; rows are 3-D
+    so their blocks satisfy Mosaic's last-two-dims rule for any N)."""
     x = x_ref[0].astype(jnp.float32)              # (BS, C)
-    y = (x - mean_ref[0]) * inv_ref[0] * scale_ref[0] + bias_ref[0]
+    y = (x - mean_ref[0, 0]) * inv_ref[0, 0] * scale_ref[0, 0] + bias_ref[0, 0]
     out_ref[0] = jnp.maximum(y, 0.0).astype(out_ref.dtype)
 
 
@@ -98,16 +99,17 @@ def fused_group_norm_relu(x, scale, bias, num_groups: int, block_spatial: int = 
         in_specs=[
             pl.BlockSpec((1, block_spatial, c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_spatial, c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
         interpret=interpret,
-    )(xf, mean_c, inv_c, scale.astype(jnp.float32)[None], bias.astype(jnp.float32)[None])
+    )(xf, mean_c[:, None], inv_c[:, None],
+      scale.astype(jnp.float32)[None, None], bias.astype(jnp.float32)[None, None])
 
     if pad:
         out = out[:, :s]

@@ -121,7 +121,11 @@ def _k2_bwd(th, wo, res, g):
     w_rev = w[::-1, ::-1, ::-1].swapaxes(3, 4)
     dx = lax.conv_general_dilated(g, w_rev, (1, 1, 1), [(1, 1)] * 3,
                                   dimension_numbers=_DN)
-    # dw[t] = sum_spatial x_view_t^T g
+    # dw[t] = sum_spatial x_view_t^T g. (A single batch<->feature-swapped
+    # conv formulation measured SLOWER on v5e — 544 vs 519 ms/train-step —
+    # so the per-tap contraction stays. Training through this VJP is slower
+    # than the XLA lowering either way (residuals save the PADDED x);
+    # pallas_k2 is an inference-path optimization — see PERF.md.)
     do, ho, wfull = di - 1, hi - 1, wi - 1
     taps = []
     for a in (0, 1):
