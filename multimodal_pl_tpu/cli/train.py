@@ -46,6 +46,9 @@ def get_arguments() -> argparse.ArgumentParser:
     p.add_argument("--patience", type=int, default=3,
                    help="parity no-op (dead flag in the reference too)")
     p.add_argument("--start_epoch", type=int, default=0)
+    p.add_argument("--stop_epoch", type=int, default=0,
+                   help="stop after this epoch (LR horizon stays num_epochs) "
+                        "— chunked checkpoint/resume for leak-prone hosts")
     p.add_argument("--val_pred_every", type=int, default=50)
     p.add_argument("--learning_rate", type=float, default=5e-4)
     p.add_argument("--num_classes", type=int, default=14)
@@ -169,6 +172,7 @@ def main(argv=None):
         val_every=args.val_pred_every,
         snapshot_dir=args.snapshot_dir,
         start_epoch=args.start_epoch,
+        stop_epoch=args.stop_epoch,
         tile=(d, h, w),
         num_classes=args.num_classes,
     )

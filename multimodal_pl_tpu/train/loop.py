@@ -36,6 +36,12 @@ class LoopConfig:
     val_every: int = 50
     snapshot_dir: str = "snapshots/fold1"
     start_epoch: int = 0
+    # stop after this epoch without touching the LR schedule's horizon
+    # (num_epochs): long runs restart in checkpoint/resume chunks because the
+    # axon client leaks every host->device transfer buffer (~45 MB/step on
+    # the AMOS batch — a 2400-step process reaches 110 GB RSS and is
+    # OOM-killed). 0 = run to num_epochs.
+    stop_epoch: int = 0
     tile: tuple = (64, 192, 192)
     num_classes: int = 14
     keep_last: int = 3
@@ -122,10 +128,23 @@ def train_loop(state: TrainState, step_fn, model, train_ds: AMOSDataset,
     device_keys = ("image", "label", "catlas", "sup_mask", "label_t")
     predictor = make_validation_predictor(model, cfg) if valid_ds is not None else None
 
+    # Transfer dtypes: image/catlas ship in the compute dtype (bit-identical
+    # to shipping f32 and casting on device — the step casts them anyway)
+    # and labels as uint8 (values < num_classes). Halves the H2D bytes per
+    # step — and, on axon hosts where the client leaks every transfer
+    # buffer, proportionally extends how long one process can run.
+    transfer_dtype = {
+        "image": scfg.compute_dtype, "catlas": scfg.compute_dtype,
+        "label": np.uint8,
+    }
+
+    def cast(k, v):
+        return jnp.asarray(v, transfer_dtype.get(k))
+
     def batch_stream(epoch_batches):
         if n_dev == 1:
             for b in epoch_batches:
-                yield {k: jnp.asarray(b[k]) for k in device_keys}
+                yield {k: cast(k, b[k]) for k in device_keys}
             return
         from multimodal_pl_tpu.parallel.mesh import shard_batch
 
@@ -134,10 +153,11 @@ def train_loop(state: TrainState, step_fn, model, train_ds: AMOSDataset,
             group.append({k: b[k] for k in device_keys})
             if len(group) == n_dev:
                 gb = shard_batch(group)
-                yield {k: jnp.asarray(v) for k, v in gb.items()}
+                yield {k: cast(k, v) for k, v in gb.items()}
                 group = []
 
-    for epoch in range(cfg.start_epoch, cfg.num_epochs):
+    stop = min(cfg.stop_epoch, cfg.num_epochs) if cfg.stop_epoch else cfg.num_epochs
+    for epoch in range(cfg.start_epoch, stop):
         state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
         lr = poly_lr(cfg.learning_rate, epoch, cfg.num_epochs, cfg.power)
         wf = feature_ramp(epoch, scfg.pretrain_epoch, scfg.ramp_until, scfg.weight_feature_max)

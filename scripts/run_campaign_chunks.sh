@@ -1,0 +1,31 @@
+#!/bin/bash
+# Chunked partial-label campaign: checkpoint/resume in --stop_epoch chunks
+# because the axon client leaks every host->device transfer buffer
+# (~45 MB/step -> OOM kill near 2400 steps in one process). Each chunk
+# resumes from the latest orbax checkpoint; the LR schedule horizon stays
+# --num_epochs throughout.
+# Usage: run_campaign_chunks.sh [ROOT=/tmp/synth_pl] [TOTAL=2500] [CHUNK=150]
+set -u
+ROOT="${1:-/tmp/synth_pl}"
+TOTAL="${2:-2500}"
+CHUNK="${3:-150}"
+SNAP="$ROOT/snapshots"
+STEPS_PER_EPOCH=6   # 19 train cases / bs 3
+
+while true; do
+  latest=$(ls "$SNAP" 2>/dev/null | grep '^ckpt_' | sed 's/ckpt_//' | sort -n | tail -1)
+  start=$(( ${latest:-0} / STEPS_PER_EPOCH ))
+  if [ "$start" -ge "$TOTAL" ]; then echo "campaign complete at epoch $start"; break; fi
+  stop=$(( start + CHUNK )); [ "$stop" -gt "$TOTAL" ] && stop=$TOTAL
+  echo "=== chunk: epochs $start -> $stop ==="
+  python -m multimodal_pl_tpu.cli.train \
+    --data_dir "$ROOT/imagesTr" \
+    --atlas_path "$ROOT/atlas_mm.npy" \
+    --supervision_csv "$ROOT/supervise_mask.csv" \
+    --snapshot_dir "$SNAP" \
+    --input_size 64,96,96 --batch_size 3 \
+    --num_epochs "$TOTAL" --val_pred_every 100 \
+    --learning_rate 5e-4 --pretrain_epoch 20 --cache_data true \
+    --reload_from_checkpoint true --start_epoch "$start" --stop_epoch "$stop" \
+    || { echo "chunk failed (rc=$?)"; sleep 10; }
+done
