@@ -86,6 +86,10 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from multimodal_pl_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from multimodal_pl_tpu.data.dataset import AMOSDataset
     from multimodal_pl_tpu.data.nifti import write_nifti
     from multimodal_pl_tpu.infer.metrics import organ_scores, organ_scores_atlas

@@ -91,6 +91,13 @@ def get_arguments() -> argparse.ArgumentParser:
                    help="memoize prepared volumes (NIfTI read + atlas resize + "
                         "pad/truncate) in host RAM — ~0.5 GB/case at the AMOS "
                         "256x256x128 grid; random crops/augs still re-sample")
+    p.add_argument("--device_data", choices=("auto", "true", "false"),
+                   default="auto",
+                   help="hold the prepared training set in DEVICE memory and "
+                        "assemble batches (crop + intensity augs) on device — "
+                        "per-step host traffic drops to bytes "
+                        "(data/device_cache.py). auto: on when case shapes "
+                        "are uniform and the run is single-device")
     return p
 
 
@@ -99,6 +106,10 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
+
+    from multimodal_pl_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from multimodal_pl_tpu.data.dataset import AMOSDataset
     from multimodal_pl_tpu.models import (
@@ -176,7 +187,21 @@ def main(argv=None):
         tile=(d, h, w),
         num_classes=args.num_classes,
     )
-    train_loop(state, step_fn, model, train_ds, valid_ds, scfg, lcfg, n_dev=n_dev)
+    device_pipe = None
+    if args.device_data != "false" and n_dev == 1:
+        try:
+            from multimodal_pl_tpu.data.device_cache import DeviceDataPipeline
+
+            device_pipe = DeviceDataPipeline(
+                train_ds, compute_dtype=scfg.compute_dtype, seed=args.seed)
+            print(f"device data pipeline: {len(train_ds)} cases resident in "
+                  f"device memory ({device_pipe.images.nbytes / 1e6:.0f} MB images)")
+        except ValueError as e:
+            if args.device_data == "true":
+                raise
+            print(f"device data pipeline unavailable ({e}); using host path")
+    train_loop(state, step_fn, model, train_ds, valid_ds, scfg, lcfg, n_dev=n_dev,
+               device_pipe=device_pipe)
 
 
 if __name__ == "__main__":

@@ -117,10 +117,15 @@ def check_refine_grad_capacity(train_ds: AMOSDataset, scfg: StepConfig) -> int:
 
 def train_loop(state: TrainState, step_fn, model, train_ds: AMOSDataset,
                valid_ds: Optional[AMOSDataset], scfg: StepConfig, cfg: LoopConfig,
-               log_every: int = 10, n_dev: int = 1):
+               log_every: int = 10, n_dev: int = 1, device_pipe=None):
     """n_dev > 1: step_fn is a sharded step (parallel.make_sharded_train_step)
     — n_dev host batches are drawn per step and stacked into the global-batch
-    layout (parallel.mesh.shard_batch), one per mesh device."""
+    layout (parallel.mesh.shard_batch), one per mesh device.
+
+    device_pipe: a data.device_cache.DeviceDataPipeline; when set, batches
+    are assembled ON DEVICE from the HBM-resident dataset (host ships only
+    indices/crop corners/aug parameters) instead of train_ds.batches'
+    host-side numpy path. Single-device only."""
     os.makedirs(cfg.snapshot_dir, exist_ok=True)
     logger = MetricsLogger(cfg.snapshot_dir)
     best = -np.inf
@@ -141,7 +146,13 @@ def train_loop(state: TrainState, step_fn, model, train_ds: AMOSDataset,
     def cast(k, v):
         return jnp.asarray(v, transfer_dtype.get(k))
 
+    if device_pipe is not None and n_dev != 1:
+        raise ValueError("device_pipe is single-device only (use the host path with --mesh)")
+
     def batch_stream(epoch_batches):
+        if device_pipe is not None:     # already device dicts in final dtypes
+            yield from epoch_batches
+            return
         if n_dev == 1:
             for b in epoch_batches:
                 yield {k: cast(k, b[k]) for k in device_keys}
@@ -168,7 +179,10 @@ def train_loop(state: TrainState, step_fn, model, train_ds: AMOSDataset,
         # the only host sync and bounds the dispatch queue.
         loss_handles = []
         t0 = time.time()
-        for it, b in enumerate(batch_stream(train_ds.batches(cfg.batch_size, epochs=1))):
+        epoch_src = (device_pipe.batches(cfg.batch_size, epochs=1)
+                     if device_pipe is not None
+                     else train_ds.batches(cfg.batch_size, epochs=1))
+        for it, b in enumerate(batch_stream(epoch_src)):
             state, metrics = step_fn(state, b, lr, wf)
             loss_handles.append(metrics["loss"])
             if it % log_every == 0:

@@ -1,14 +1,13 @@
 #!/bin/bash
-# Chunked partial-label campaign: checkpoint/resume in --stop_epoch chunks
-# because the axon client leaks every host->device transfer buffer
-# (~45 MB/step -> OOM kill near 2400 steps in one process). Each chunk
-# resumes from the latest orbax checkpoint; the LR schedule horizon stays
-# --num_epochs throughout.
-# Usage: run_campaign_chunks.sh [ROOT=/tmp/synth_pl] [TOTAL=2500] [CHUNK=150]
+# Chunked partial-label campaign: checkpoint/resume in --stop_epoch chunks.
+# With --device_data the axon transfer-buffer leak is moot (per-step H2D is
+# bytes), so chunks exist only as crash insurance; each chunk resumes from
+# the latest orbax checkpoint and the LR schedule horizon stays --num_epochs.
+# Usage: run_campaign_chunks.sh [ROOT=/tmp/synth_pl] [TOTAL=2500] [CHUNK=800]
 set -u
 ROOT="${1:-/tmp/synth_pl}"
 TOTAL="${2:-2500}"
-CHUNK="${3:-150}"
+CHUNK="${3:-800}"
 SNAP="$ROOT/snapshots"
 STEPS_PER_EPOCH=6   # 19 train cases / bs 3
 
@@ -26,6 +25,7 @@ while true; do
     --input_size 64,96,96 --batch_size 3 \
     --num_epochs "$TOTAL" --val_pred_every 100 \
     --learning_rate 5e-4 --pretrain_epoch 20 --cache_data true \
+    --device_data true \
     --reload_from_checkpoint true --start_epoch "$start" --stop_epoch "$stop" \
     || { echo "chunk failed (rc=$?)"; sleep 10; }
 done
