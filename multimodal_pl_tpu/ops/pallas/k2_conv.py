@@ -15,9 +15,10 @@ x[b, d+t0, h+t1, w+t2] @ W[t]; the s2d callers' 'SAME'-style paddings are
 applied by the wrapper via one jnp.pad (s2d_conv3x3 packing='a' pads 1,
 packing='s' pads 0).
 
-Training runs through a custom VJP with explicit XLA gradients (dx as the
-flipped-tap transposed conv, dw as 8 view contractions) — no pallas in the
-backward yet.
+Training runs through a custom VJP whose residuals are the UNPADDED operands
+(pads recomputed in the backward); dx is itself a k2 conv (flipped taps,
+channels swapped) and rides the same Pallas kernel, dw is 8 view
+contractions in XLA.
 """
 
 from __future__ import annotations
@@ -34,23 +35,46 @@ from jax.experimental.pallas import tpu as pltpu
 _DN = ("NDHWC", "DHWIO", "NDHWC")
 
 
-def _kernel(x_hbm, w_ref, out_ref, xs, acc, sem, *, th: int, wo: int):
-    """One grid step: out rows [h*th, (h+1)*th) of depth-slice d, batch b."""
+def _kernel(x_hbm, w_ref, out_ref, xs, acc, sems, *, th: int, wo: int):
+    """One grid step: out rows [h*th, (h+1)*th) of depth-slice d, batch b.
+
+    The input band DMA is double-buffered across grid steps: each step kicks
+    off the NEXT step's HBM->VMEM band copy before waiting on its own, so the
+    copy rides under the 8 MXU matmuls (the TPU grid is sequential per core,
+    and scratch/semaphores persist across steps)."""
     b = pl.program_id(0)
     d = pl.program_id(1)
     h = pl.program_id(2)
+    nd = pl.num_programs(1)
+    nh = pl.num_programs(2)
     k = x_hbm.shape[-1]
+    i = (b * nd + d) * nh + h
+    n_steps = pl.num_programs(0) * nd * nh
+    slot = jax.lax.rem(i, 2)
 
-    cp = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(d, 2), pl.ds(h * th, th + 1)], xs, sem)
-    cp.start()
-    cp.wait()
+    def band_dma(to_slot, bb, dd, hh):
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(dd, 2), pl.ds(hh * th, th + 1)],
+            xs.at[to_slot], sems.at[to_slot])
+
+    @pl.when(i == 0)
+    def _():
+        band_dma(0, b, d, h).start()
+
+    @pl.when(i + 1 < n_steps)
+    def _():
+        i1 = i + 1
+        h1 = jax.lax.rem(i1, nh)
+        t = jax.lax.div(i1, nh)
+        band_dma(jax.lax.rem(i1, 2), jax.lax.div(t, nd), jax.lax.rem(t, nd), h1).start()
+
+    band_dma(slot, b, d, h).wait()
 
     acc[...] = jnp.zeros_like(acc)
     for a in range(2):
         for bb in range(2):
             for c in range(2):
-                view = xs[a, bb:bb + th, c:c + wo, :].reshape(th * wo, k)
+                view = xs[slot, a, bb:bb + th, c:c + wo, :].reshape(th * wo, k)
                 acc[...] += jax.lax.dot_general(
                     view, w_ref[a, bb, c],
                     dimension_numbers=(((1,), (0,)), ((), ())),
@@ -82,9 +106,9 @@ def _k2_valid_pallas(x, w, th: int, wo: int):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, do, ho * wo, n), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, th + 1, wi, k), x.dtype),
+            pltpu.VMEM((2, 2, th + 1, wi, k), x.dtype),   # double-buffered band
             pltpu.VMEM((th * wo, n), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         # off-TPU (CPU tests) run the same code path interpreted
         interpret=jax.default_backend() != "tpu",
@@ -97,52 +121,7 @@ def _k2_valid_xla(x, w):
                                     dimension_numbers=_DN)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def k2_conv_valid(x, w, th, wo):
-    """Dense k2 conv via the Pallas kernel, with XLA gradients. See
-    :func:`_k2_valid_pallas` for the shape contract; use :func:`k2_conv`
-    for automatic padding."""
-    return _k2_valid_pallas(x, w, th, wo)
-
-
-def _k2_fwd(x, w, th, wo):
-    return _k2_valid_pallas(x, w, th, wo), (x, w)
-
-
-def _k2_bwd(th, wo, res, g):
-    x, w = res
-    bsz, di, hi, wi, k = x.shape
-    g = g.astype(x.dtype)
-    # pad g back to the full VALID output extent (wi - 1) so the transposed
-    # conv below sees the true geometry (cols >= wo got no gradient)
-    if wo < wi - 1:
-        g = jnp.pad(g, [(0, 0), (0, 0), (0, 0), (0, wi - 1 - wo), (0, 0)])
-    # dx: 'full' correlation = pad-1 conv with taps flipped, channels swapped
-    w_rev = w[::-1, ::-1, ::-1].swapaxes(3, 4)
-    dx = lax.conv_general_dilated(g, w_rev, (1, 1, 1), [(1, 1)] * 3,
-                                  dimension_numbers=_DN)
-    # dw[t] = sum_spatial x_view_t^T g. (A single batch<->feature-swapped
-    # conv formulation measured SLOWER on v5e — 544 vs 519 ms/train-step —
-    # so the per-tap contraction stays. Training through this VJP is slower
-    # than the XLA lowering either way (residuals save the PADDED x);
-    # pallas_k2 is an inference-path optimization — see PERF.md.)
-    do, ho, wfull = di - 1, hi - 1, wi - 1
-    taps = []
-    for a in (0, 1):
-        for bb in (0, 1):
-            for c in (0, 1):
-                view = lax.slice(x, (0, a, bb, c, 0),
-                                 (bsz, do + a, ho + bb, wfull + c, k))
-                taps.append(jnp.einsum("bdhwk,bdhwn->kn", view, g,
-                                       preferred_element_type=jnp.float32))
-    dw = jnp.stack(taps).reshape(2, 2, 2, k, w.shape[-1]).astype(w.dtype)
-    return dx, dw
-
-
-k2_conv_valid.defvjp(_k2_fwd, _k2_bwd)
-
-
-def k2_conv(x, w, pad: int = 0, th: int = 8):
+def _k2_impl(x, w, pad: int, th: int):
     """Dense k2 conv with symmetric spatial zero ``pad`` (0 or 1) through the
     Pallas kernel, padding H/W up to the kernel's tiling requirements
     (W band 8-aligned for the DMA, output rows th-aligned) and slicing the
@@ -163,7 +142,60 @@ def k2_conv(x, w, pad: int = 0, th: int = 8):
     hi_k = ho_k + 1
     if hi_k != hi or wi_k != wi:
         x = jnp.pad(x, [(0, 0), (0, 0), (0, hi_k - hi), (0, wi_k - wi), (0, 0)])
-    out = k2_conv_valid(x, w, th, wo_k)
+    out = _k2_valid_pallas(x, w, th, wo_k)
     if ho_k != ho or wo_k != wo:
         out = out[:, :, :ho, :wo, :]
     return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def k2_conv(x, w, pad: int = 0, th: int = 8):
+    """Dense k2 conv with symmetric spatial zero ``pad`` through the Pallas
+    kernel (see :func:`_k2_impl` for the tiling contract and XLA fallback).
+
+    Differentiable: the custom VJP's residuals are the UNPADDED operands —
+    the SAME/alignment pads are recomputed in the backward instead of saved
+    (the round-2 padded-x residual cost more HBM traffic than it avoided) —
+    and dx is itself a k2 conv (full correlation = pad-1 conv with taps
+    flipped, channels swapped), so it rides the same Pallas kernel."""
+    return _k2_impl(x, w, pad, th)
+
+
+def _k2_fwd(x, w, pad, th):
+    return _k2_impl(x, w, pad, th), (x, w)
+
+
+def _k2_bwd(pad, th, res, g):
+    x, w = res
+    bsz, di, hi, wi, k = x.shape
+    g = g.astype(x.dtype)
+    # dx: 'full' correlation = pad-1 k2 conv with taps flipped, channels
+    # swapped — the same compute shape as the forward, so it goes through the
+    # Pallas kernel too (output channels k, input channels n, both of which
+    # met the alignment check iff the forward did). The outer SAME pad of the
+    # forward shrinks dx's extent: slice `pad` back off each side.
+    w_rev = w[::-1, ::-1, ::-1].swapaxes(3, 4)
+    dx = _k2_impl(g, w_rev, 1, th)
+    if pad:
+        dx = dx[:, pad:-pad, pad:-pad, pad:-pad, :]
+    # dw[t] = sum_spatial x_view_t^T g over the PADDED x (recomputed here —
+    # jnp.pad of a live tensor is cheap next to saving it as a residual).
+    # (A single batch<->feature-swapped conv formulation measured SLOWER on
+    # v5e — 544 vs 519 ms/train-step — so the per-tap contraction stays.)
+    if pad:
+        x = jnp.pad(x, [(0, 0)] + [(pad, pad)] * 3 + [(0, 0)])
+        di, hi, wi = di + 2 * pad, hi + 2 * pad, wi + 2 * pad
+    do, ho, wo = di - 1, hi - 1, wi - 1
+    taps = []
+    for a in (0, 1):
+        for bb in (0, 1):
+            for c in (0, 1):
+                view = lax.slice(x, (0, a, bb, c, 0),
+                                 (bsz, do + a, ho + bb, wo + c, k))
+                taps.append(jnp.einsum("bdhwk,bdhwn->kn", view, g,
+                                       preferred_element_type=jnp.float32))
+    dw = jnp.stack(taps).reshape(2, 2, 2, k, w.shape[-1]).astype(w.dtype)
+    return dx, dw
+
+
+k2_conv.defvjp(_k2_fwd, _k2_bwd)
