@@ -6,8 +6,19 @@ The reference's mask plumbing is internally inconsistent (generator emits a
 This module fixes the convention by spec:
 
   * A supervision mask is a ``num_classes``(=14)-vector indexed by LABEL,
-    mask[0] == 1 (background always supervised), mask[l] == 1 iff organ
-    label l is annotated for that case.
+    mask[0] == 0 (background NEVER directly supervised), mask[l] == 1 iff
+    organ label l is annotated for that case.
+
+    mask[0] == 0 is load-bearing, verified against the reference driver:
+    train:312 passes the raw csv row (whose slot 0 is 0 in every row of the
+    snapshot's supervise_mask.csv) into get_loss as the per-class weight
+    vector, so the background channel gets NO dice and NO BCE term
+    (loss_partial.py:52, :90-92). Each organ channel is therefore trained
+    only in cases where that organ is annotated (to 1 inside / 0 outside)
+    and background emerges purely as the softmax residual — there is no
+    contradictory "be background" pressure on unsupervised organs. Weighting
+    the background channel instead (an earlier build convention) creates an
+    all-background equilibrium that partial-label training cannot escape.
   * CSV rows are ``case_id,bitstring`` keyed by the bare case id
     (e.g. ``amos_0001``), no header ambiguity: a header row is written and
     skipped on read.
@@ -50,9 +61,8 @@ def label_t_of(case_id: int) -> np.ndarray:
 
 def supervision_mask_for_case(case_id: int) -> np.ndarray:
     """(14,) 0/1 mask; CT cases get exactly one supervised organ by id range,
-    MRI cases get none (all-zero organs)."""
+    MRI cases get none (all-zero row, like the reference csv's MRI rows)."""
     mask = np.zeros(NUM_CLASSES, np.float32)
-    mask[0] = 1.0
     cid = int(case_id)
     if cid >= 500:
         return mask
@@ -67,7 +77,6 @@ def supervision_mask_from_label(label_volume: np.ndarray) -> np.ndarray:
     """Alternative generator (reference setup.py's create_supervise_mask
     recovered behavior): mark every organ present in the label volume."""
     mask = np.zeros(NUM_CLASSES, np.float32)
-    mask[0] = 1.0
     for l in np.unique(label_volume):
         if 1 <= int(l) < NUM_CLASSES:
             mask[int(l)] = 1.0

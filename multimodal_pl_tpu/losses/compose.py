@@ -44,8 +44,15 @@ def segmentation_loss(
     """The reference ``get_loss`` (losses.py:107-182), channel-last.
 
     logits: (B, D, H, W, C) raw; labels: (B, D, H, W) with unsupervised organs
-    zeroed (cmask); sup_mask: (C,) 0/1; deep_outs: 3 deep-sup logits at 1/8,
-    1/4, 1/2 scales; attns: 3 attention maps, full-size when deep_up
+    zeroed (cmask); sup_mask: (C,) 0/1 class WEIGHTS fed straight to the
+    masked dice/BCE — [0] must be 0 for reference parity (the driver passes
+    the raw csv row, slot 0 always 0, train:312: background gets no direct
+    loss and unsupervised organs feel no "be background" pressure);
+    deep_outs: deep-sup logits at 1/8, 1/4, 1/2 scales — NOTE the final
+    reference driver passes deep_out=[] (train:305, :312), so the trained
+    configuration calls this with an empty tuple and the deep-dice formula
+    below only serves the aux experiment variants;
+    attns: 3 attention maps, full-size when deep_up
     (B, D, H, W, C-1); refiner_logits: (C-1, D, H, W, 2) raw refiner output
     for every organ (or None during the pretrain phase); label_d: (C-1,)
     per-case organ supervision bits (== sup_mask[1:]) — the pseudo-label

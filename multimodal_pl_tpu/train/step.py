@@ -73,7 +73,10 @@ def build_step_body(model, refiner, disc, cfg: StepConfig, axis_name: str | None
       image:  (B, D, H, W, 1) float
       label:  (B, D, H, W) int32 full labels
       catlas: (C-1, D, H, W) float atlas prior (resized to the patch)
-      sup_mask: (C,) float 0/1 supervision bitmask, [0] == 1 (background)
+      sup_mask: (C,) float 0/1 supervision bitmask, [0] == 0 — the
+        background channel carries NO loss weight (the reference feeds the
+        raw csv row, slot 0 always 0, straight into get_loss as the class
+        weights, train:312; see data/supervision.py)
       label_t:  (C-1,) float modality flags (train:223-226)
     lr: segmenter/refiner learning rate (poly-scheduled by the caller);
     weight_feature: pseudo-label ramp weight (0 during pretrain).
@@ -112,20 +115,39 @@ def build_step_body(model, refiner, disc, cfg: StepConfig, axis_name: str | None
 
         tlist_w = label_t * sup_mask[1:]                     # supervised & labeled-modality
         k = min(cfg.refine_grad_organs, nfg)
-        sup_idx = jnp.argsort(-tlist_w)[:k]                  # tlist rows first; pad rows get weight 0
+        order = jnp.argsort(-tlist_w)                        # tlist rows first; pad rows get weight 0
+        sup_idx, rest_idx = order[:k], order[k:]
         rlogits_sup = refiner.apply(
             rparams, (organ_probs[sup_idx], catlas_c[sup_idx])
         ).astype(jnp.float32)
         r_loss = refine_loss(rlogits_sup, cmask, tlist_w[sup_idx],
                              aug_mask=cfg.augmask, organ_ids=sup_idx + 1)
 
-        # pseudo-label pass: all organs, no gradient (reference torch.no_grad)
-        rlogits = refiner.apply(
-            jax.lax.stop_gradient(rparams), (organ_probs, catlas_c)
-        ).astype(jnp.float32)
+        # pseudo-label pass: all organs, no gradient (reference torch.no_grad,
+        # train:289-290). The gradient pass above already ran the sup_idx rows
+        # through the same refiner with the same inputs, so only the nfg-k
+        # complement rows are recomputed here and the full (nfg, ...) output
+        # is reassembled by scatter — identical values, 13/(13-k) less
+        # refiner forward work than rerunning all organs.
+        if k < nfg:
+            rlogits_rest = refiner.apply(
+                jax.lax.stop_gradient(rparams),
+                (organ_probs[rest_idx], catlas_c[rest_idx])
+            ).astype(jnp.float32)
+            rlogits = (
+                jnp.zeros((nfg, *rlogits_rest.shape[1:]), jnp.float32)
+                .at[sup_idx].set(jax.lax.stop_gradient(rlogits_sup))
+                .at[rest_idx].set(rlogits_rest)
+            )
+        else:
+            rlogits = jax.lax.stop_gradient(rlogits_sup)[jnp.argsort(sup_idx)]
 
+        # deep_outs=(): the final reference driver passes deep_out=[] into
+        # get_loss (train:305, :312) — the deep-supervision heads receive no
+        # dice terms; the multi-scale signal comes from the attention maps in
+        # the consistency term instead.
         seg = segmentation_loss(
-            logits32, cmask, sup_mask, deeps, attns,
+            logits32, cmask, sup_mask, (), attns,
             refiner_logits=jax.lax.stop_gradient(rlogits),
             label_d=sup_mask[1:], weight_feature=weight_feature,
         )

@@ -54,11 +54,13 @@ class TestNifti:
 class TestSupervision:
     def test_ct_single_organ(self):
         m = supervision_mask_for_case(1)
-        assert m[0] == 1 and m.sum() == 2  # background + exactly one organ
+        # [0]=0: background carries no loss weight (reference csv slot 0 is 0
+        # in every row and feeds get_loss directly as the class weights)
+        assert m[0] == 0 and m.sum() == 1  # exactly one organ
 
     def test_mri_no_organs(self):
         m = supervision_mask_for_case(503)
-        assert m[0] == 1 and m.sum() == 1
+        assert m[0] == 0 and m.sum() == 0  # all-zero row like the reference
 
     def test_csv_roundtrip(self, tmp_path):
         p = str(tmp_path / "sup.csv")
@@ -72,7 +74,7 @@ class TestSupervision:
         lab[0, 0, 0] = 3
         lab[1, 1, 1] = 7
         m = supervision_mask_from_label(lab)
-        assert m[3] == 1 and m[7] == 1 and m.sum() == 3  # + background
+        assert m[3] == 1 and m[7] == 1 and m.sum() == 2
 
 
 class TestAtlasResize:
@@ -163,7 +165,8 @@ class TestEndToEndDataset:
         assert s.image.shape == (16, 32, 32, 1)
         assert s.label.shape == (16, 32, 32)
         assert s.catlas.shape == (13, 16, 32, 32)
-        assert s.sup_mask.shape == (14,) and s.sup_mask[0] == 1
+        # [0]=0: background carries no loss weight (reference csv slot 0)
+        assert s.sup_mask.shape == (14,) and s.sup_mask[0] == 0
         assert s.label_t.shape == (13,)
         assert np.isfinite(s.image).all()
 

@@ -35,7 +35,9 @@ def setup():
         "image": jnp.asarray(rng.standard_normal((1, *P, 1)), jnp.float32),
         "label": jnp.asarray(labels),
         "catlas": jnp.asarray(rng.random((NC - 1, *P)), jnp.float32),
-        "sup_mask": jnp.asarray([1, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], jnp.float32),
+        # [0]=0: the background channel carries no loss weight (reference
+        # feeds the raw csv row, slot 0 always 0 — train:312)
+        "sup_mask": jnp.asarray([0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], jnp.float32),
         "label_t": jnp.asarray([0, 0, 0, 0, 1, 1, 1, 1, 1, 0, 1, 1, 1], jnp.float32),
     }
     return cfg, state, step, batch
@@ -171,8 +173,9 @@ def test_step_seg_loss_composition(setup):
     organ_probs = jnp.moveaxis(probs0[..., 1:], -1, 0)
     rlogits = refiner.apply(
         state.rparams, (organ_probs, batch["catlas"])).astype(jnp.float32)
+    # deep_outs=(): the reference driver passes deep_out=[] (train:305, :312)
     expected = float(segmentation_loss(
-        logits32, cmask, batch["sup_mask"], deeps, attns,
+        logits32, cmask, batch["sup_mask"], (), attns,
         refiner_logits=rlogits, label_d=batch["sup_mask"][1:], weight_feature=wf,
     ))
 
