@@ -129,7 +129,7 @@ class TestFullShardedStep:
             "label": rng.integers(0, self.NC, (1, *self.P)).astype(np.int32),
             "catlas": rng.random((self.NC - 1, *self.P)).astype(np.float32),
             "sup_mask": np.array(
-                [1] + [int(j == sup_organ) for j in range(1, self.NC)], np.float32),
+                [0] + [int(j == sup_organ) for j in range(1, self.NC)], np.float32),
             "label_t": np.array([0, 0, 0, 0, 1, 1, 1, 1, 1, 0, 1, 1, 1], np.float32),
         }
 
