@@ -93,7 +93,7 @@ def validate(state: TrainState, model, dataset: AMOSDataset, cfg: LoopConfig,
         logger.log(epoch, {"val_dice_ct_mean": float(ct.mean()),
                            "val_dice_mri_mean": float(mri.mean()),
                            "val_dice_sup_sum": sup_dice_sum}, prefix="val/")
-    return sup_dice_sum, ct, mri
+    return sup_dice_sum, ct, mri, int(ct_count[0]), int(mri_count[0])
 
 
 def check_refine_grad_capacity(train_ds: AMOSDataset, scfg: StepConfig) -> int:
@@ -201,9 +201,14 @@ def train_loop(state: TrainState, step_fn, model, train_ds: AMOSDataset,
               f"({pps:.2f} patches/s)")
 
         if valid_ds is not None and epoch >= 5 and (epoch + 1) % cfg.val_every == 0:
-            r1, ct, mri = validate(state, model, valid_ds, cfg, logger, epoch, predictor)
+            r1, ct, mri, n_ct, n_mri = validate(state, model, valid_ds, cfg,
+                                                logger, epoch, predictor)
+            # NOTE: the <510 CT-bucket threshold is reference-faithful
+            # (train:532); ids 500-509 are MRI by the dataset rule but land
+            # in the CT bucket here — the case counts make an empty bucket
+            # (printed as 0.000) visible instead of looking like dice 0.
             print(f"validate: sup_dice_sum={r1:.4f} ct_mean={ct.mean():.4f} "
-                  f"mri_mean={mri.mean():.4f}")
+                  f"({n_ct} cases) mri_mean={mri.mean():.4f} ({n_mri} cases)")
             # per-organ tables (reference train:516-540 prints these per round)
             print("  CT  organ dice: " + " ".join(f"{v:.3f}" for v in ct))
             print("  MRI organ dice: " + " ".join(f"{v:.3f}" for v in mri))
