@@ -81,6 +81,19 @@ def get_arguments() -> argparse.ArgumentParser:
                         "without it and runs 1.13x faster (565 vs 628 ms/step)")
     p.add_argument("--mesh", type=str, default="",
                    help="data-parallel mesh spec, e.g. 'data:8' (empty = single device)")
+    # model geometry (defaults == the reference network; smaller values are
+    # for smoke tests / constrained hosts — see train.state.tiny_step_config)
+    p.add_argument("--model_base", type=int, default=32,
+                   help="U-Net stage-width base (reference: 32)")
+    p.add_argument("--model_layers", type=str, default="1,2,2,2,2",
+                   help="residual blocks per stage (reference: 1,2,2,2,2)")
+    p.add_argument("--refiner_filter", type=int, default=24,
+                   help="refiner init_filter (reference: 24)")
+    p.add_argument("--disc_ndf", type=int, default=32,
+                   help="discriminator base width (reference: 32)")
+    p.add_argument("--disc_depth", type=int, default=6,
+                   help="discriminator stride-2 conv count; sets the minimum "
+                        "patch edge 2**(depth-1) (reference: 6 -> 64)")
     p.add_argument("--pallas_gn", type=str2bool, default=False,
                    help="fused Pallas GN->ReLU kernel for the voxel-domain "
                         "pre-activations (ops/pallas/fused_gn_relu.py)")
@@ -96,8 +109,9 @@ def get_arguments() -> argparse.ArgumentParser:
                    help="hold the prepared training set in DEVICE memory and "
                         "assemble batches (crop + intensity augs) on device — "
                         "per-step host traffic drops to bytes "
-                        "(data/device_cache.py). auto: on when case shapes "
-                        "are uniform and the run is single-device")
+                        "(data/device_cache.py). Composes with --mesh data:N "
+                        "(dataset replicated, shards assembled locally per "
+                        "device). auto: on when case shapes are uniform")
     return p
 
 
@@ -112,13 +126,8 @@ def main(argv=None):
     enable_compile_cache()
 
     from multimodal_pl_tpu.data.dataset import AMOSDataset
-    from multimodal_pl_tpu.models import (
-        DeepStyleDiscriminator,
-        NormStyleDiscriminator,
-        RefinerUNet3D,
-        UNet3DFEAM,
-    )
     from multimodal_pl_tpu.train import StepConfig, create_train_state, make_train_step
+    from multimodal_pl_tpu.train.state import build_models
     from multimodal_pl_tpu.train.checkpoint import latest_checkpoint, restore_checkpoint
     from multimodal_pl_tpu.train.loop import LoopConfig, train_loop
     from multimodal_pl_tpu.utils.prng import seedfix
@@ -139,6 +148,12 @@ def main(argv=None):
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         pallas_gn=args.pallas_gn,
         pallas_k2=args.pallas_k2,
+        weight_std=args.weight_std,
+        base=args.model_base,
+        layers=tuple(int(x) for x in args.model_layers.split(",")),
+        refiner_filter=args.refiner_filter,
+        disc_ndf=args.disc_ndf,
+        disc_depth=args.disc_depth,
     )
     state = create_train_state(rng, scfg)
     if args.reload_from_checkpoint:
@@ -149,11 +164,7 @@ def main(argv=None):
         else:
             print(f"File not exists in the reload path: {args.reload_path}")
 
-    model = UNet3DFEAM(num_classes=args.num_classes, weight_std=args.weight_std,
-                       deep_up=args.deep_up, remat=args.remat)
-    refiner = RefinerUNet3D(num_classes=2, weight_std=args.weight_std,
-                            init_filter=24, in_channel=2)
-    disc = NormStyleDiscriminator() if args.deep_up else DeepStyleDiscriminator()
+    model, refiner, disc = build_models(scfg)
 
     atlas = np.load(args.atlas_path) if os.path.exists(args.atlas_path) else None
     sup_csv = args.supervision_csv if os.path.exists(args.supervision_csv) else None
@@ -165,6 +176,7 @@ def main(argv=None):
     print(f"{len(train_ds)} train / {len(valid_ds)} valid cases")
 
     n_dev = 1
+    mesh = None
     if args.mesh:
         from multimodal_pl_tpu.parallel.mesh import make_mesh
         from multimodal_pl_tpu.parallel.sharded_step import make_sharded_train_step
@@ -188,14 +200,16 @@ def main(argv=None):
         num_classes=args.num_classes,
     )
     device_pipe = None
-    if args.device_data != "false" and n_dev == 1:
+    if args.device_data != "false":
         try:
             from multimodal_pl_tpu.data.device_cache import DeviceDataPipeline
 
             device_pipe = DeviceDataPipeline(
-                train_ds, compute_dtype=scfg.compute_dtype, seed=args.seed)
+                train_ds, compute_dtype=scfg.compute_dtype, seed=args.seed,
+                mesh=mesh)
             print(f"device data pipeline: {len(train_ds)} cases resident in "
-                  f"device memory ({device_pipe.images.nbytes / 1e6:.0f} MB images)")
+                  f"device memory ({device_pipe.images.nbytes / 1e6:.0f} MB "
+                  f"images, {device_pipe.n_shards} shard(s))")
         except ValueError as e:
             if args.device_data == "true":
                 raise

@@ -205,6 +205,17 @@ class AMOSDataset:
                 return self.supervision[key]
         return supervision_mask_for_case(case_id)
 
+    def supervision_rows(self):
+        """Yield (sup_mask, label_t) for every case — the supervision
+        metadata interface REQUIRED of every train dataset: train_loop's
+        refine-capacity guard (train/loop.py) validates the static
+        refine_grad_organs gather size against it, and refuses datasets
+        that don't expose it (a wrapped source silently skipping the guard
+        is exactly the failure the guard exists to prevent)."""
+        for f in self.files:
+            cid = case_id_of(f)
+            yield self._sup_mask(cid), label_t_of(cid)
+
     def _prepared(self, index: int):
         """Crop-invariant per-case volumes: read, atlas-resize, trim, pad,
         truncate (memoized when cache=True)."""

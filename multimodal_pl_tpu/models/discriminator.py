@@ -51,18 +51,25 @@ def _stem(features, x, name="block1"):
 
 class NormStyleDiscriminator(nn.Module):
     """norm_style_discriminator_output (unet3D.py:1907-1947): plain pyramid ->
-    global average pool -> Linear(ndf*8, 2)."""
+    global average pool -> Linear(ndf*8, 2).
+
+    depth = number of stride-2 convs (reference: 6, which sets the 64-voxel
+    minimum patch — at 2**(depth-1) input the final feature map is 1^3; any
+    smaller and the last conv yields a ZERO-size tensor whose mean is NaN).
+    depth=6 reproduces the reference block names/features exactly; smaller
+    depths exist for the tiny-geometry dryrun/test tier (32^3 -> depth 5,
+    16^3 -> depth 4)."""
 
     ndf: int = 32
+    depth: int = 6
 
     @nn.compact
     def __call__(self, x):
         x = _stem(self.ndf, x, name="block1")
-        x = _lrelu(_conv(self.ndf * 2, name="block2")(x))
-        x = _lrelu(_conv(self.ndf * 4, name="block3")(x))
-        x = _lrelu(_conv(self.ndf * 8, name="block4a")(x))
-        x = _lrelu(_conv(self.ndf * 8, name="block4b")(x))
-        x = _lrelu(_conv(self.ndf * 8, name="block4c")(x))
+        for i in range(1, self.depth):
+            feats = self.ndf * min(2 ** i, 8)
+            name = f"block{i + 1}" if i < 3 else "block4" + "abcdefg"[i - 3]
+            x = _lrelu(_conv(feats, name=name)(x))
         x = jnp.mean(x, axis=(1, 2, 3))
         return _Linear(2, name="head")(x)
 

@@ -16,8 +16,7 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from multimodal_pl_tpu.data.dataset import AMOSDataset, case_id_of
-from multimodal_pl_tpu.data.supervision import label_t_of
+from multimodal_pl_tpu.data.dataset import AMOSDataset
 from multimodal_pl_tpu.infer.metrics import organ_scores
 from multimodal_pl_tpu.infer.sliding import SlidingWindowPredictor
 from multimodal_pl_tpu.losses.compose import feature_ramp
@@ -96,15 +95,26 @@ def validate(state: TrainState, model, dataset: AMOSDataset, cfg: LoopConfig,
     return sup_dice_sum, ct, mri, int(ct_count[0]), int(mri_count[0])
 
 
-def check_refine_grad_capacity(train_ds: AMOSDataset, scfg: StepConfig) -> int:
+def check_refine_grad_capacity(train_ds, scfg: StepConfig) -> int:
     """The refiner's gradient pass gathers a STATIC scfg.refine_grad_organs
     rows (train/step.py); a case with more supervised labeled-modality organs
     than that would silently drop tlist rows from the refiner loss. Validate
-    the capacity against the dataset's supervision metadata up front."""
+    the capacity against the dataset's supervision metadata up front.
+
+    supervision_rows() is a REQUIRED train-dataset interface (see
+    AMOSDataset.supervision_rows): a dataset without it raises instead of
+    silently skipping the guard — skipping is exactly the failure mode the
+    guard exists to catch."""
+    rows = getattr(train_ds, "supervision_rows", None)
+    if rows is None:
+        raise TypeError(
+            f"{type(train_ds).__name__} does not expose supervision_rows(); "
+            "every train dataset must yield (sup_mask, label_t) per case so "
+            "the refiner gradient capacity can be validated"
+        )
     max_tlist = 0
-    for f in getattr(train_ds, "files", []):
-        cid = case_id_of(f)
-        tl = int(np.sum(train_ds._sup_mask(cid)[1:] * label_t_of(cid)))
+    for sup_mask, label_t in rows():
+        tl = int(np.sum(np.asarray(sup_mask)[1:] * np.asarray(label_t)))
         max_tlist = max(max_tlist, tl)
     if max_tlist > scfg.refine_grad_organs:
         raise ValueError(
@@ -125,7 +135,9 @@ def train_loop(state: TrainState, step_fn, model, train_ds: AMOSDataset,
     device_pipe: a data.device_cache.DeviceDataPipeline; when set, batches
     are assembled ON DEVICE from the HBM-resident dataset (host ships only
     indices/crop corners/aug parameters) instead of train_ds.batches'
-    host-side numpy path. Single-device only."""
+    host-side numpy path. For n_dev > 1 the pipe must be constructed with
+    the same mesh (its shard_map'd batch program then emits global batches
+    directly in the sharded-step layout)."""
     os.makedirs(cfg.snapshot_dir, exist_ok=True)
     logger = MetricsLogger(cfg.snapshot_dir)
     best = -np.inf
@@ -146,8 +158,11 @@ def train_loop(state: TrainState, step_fn, model, train_ds: AMOSDataset,
     def cast(k, v):
         return jnp.asarray(v, transfer_dtype.get(k))
 
-    if device_pipe is not None and n_dev != 1:
-        raise ValueError("device_pipe is single-device only (use the host path with --mesh)")
+    if device_pipe is not None and getattr(device_pipe, "n_shards", 1) != n_dev:
+        raise ValueError(
+            f"device_pipe assembles {getattr(device_pipe, 'n_shards', 1)}-shard "
+            f"batches but the step runs on {n_dev} devices — construct "
+            "DeviceDataPipeline with the same mesh as the sharded step")
 
     def batch_stream(epoch_batches):
         if device_pipe is not None:     # already device dicts in final dtypes

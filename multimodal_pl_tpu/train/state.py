@@ -67,6 +67,46 @@ class StepConfig:
     # fused-gather kernel (ops/pallas/k2_conv.py). Applied globally via
     # ops.s2d.set_k2_pallas at step/predictor build time.
     pallas_k2: bool = flax.struct.field(pytree_node=False, default=False)
+    # ---- model geometry (defaults == the reference network; the tiny
+    # values exist so the driver's multichip dryrun and the cold-host test
+    # tier can compile the FULL step structure in minutes on 1 vCPU) ----
+    base: int = flax.struct.field(pytree_node=False, default=32)
+    layers: tuple = flax.struct.field(pytree_node=False, default=(1, 2, 2, 2, 2))
+    refiner_filter: int = flax.struct.field(pytree_node=False, default=24)
+    disc_ndf: int = flax.struct.field(pytree_node=False, default=32)
+    disc_depth: int = flax.struct.field(pytree_node=False, default=6)
+    weight_std: bool = flax.struct.field(pytree_node=False, default=True)
+
+
+def tiny_step_config(**overrides) -> "StepConfig":
+    """The smallest geometry the step's stride pyramids allow: 32^3 patches
+    (refiner: 5 stride-2 levels; disc depth 5 -> final 1^3), base 16 (GN
+    groups of 16 must divide every stage width), single-block stages.
+    Full step STRUCTURE — both forwards, all losses, both optimizers, token
+    EMA — at ~1/40 the compile+execute cost of the production geometry."""
+    cfg = dict(base=16, layers=(1, 1, 1, 1, 1), refiner_filter=8,
+               disc_ndf=16, disc_depth=5)
+    cfg.update(overrides)
+    return StepConfig(**cfg)
+
+
+def token_dims_for(cfg: StepConfig) -> Dict[str, int]:
+    """EAM token dims track the decoder widths at the three EAM scales."""
+    return {"t1": 4 * cfg.base, "t2": 2 * cfg.base, "t3": cfg.base}
+
+
+def build_models(cfg: StepConfig):
+    """The (segmenter, refiner, discriminator) triple for a StepConfig — the
+    single construction point shared by the CLI, the driver dryrun and the
+    test tiers, so geometry knobs can never drift between them."""
+    model = UNet3DFEAM(layers=cfg.layers, num_classes=cfg.num_classes,
+                       weight_std=cfg.weight_std, deep_up=cfg.deep_up,
+                       base=cfg.base, remat=cfg.remat)
+    refiner = RefinerUNet3D(num_classes=2, weight_std=cfg.weight_std,
+                            init_filter=cfg.refiner_filter, in_channel=2)
+    disc = (NormStyleDiscriminator(ndf=cfg.disc_ndf, depth=cfg.disc_depth)
+            if cfg.deep_up else DeepStyleDiscriminator(ndf=cfg.disc_ndf))
+    return model, refiner, disc
 
 
 @flax.struct.dataclass
@@ -87,21 +127,20 @@ def create_train_state(rng: jax.Array, cfg: StepConfig,
     k_model, k_ref, k_disc, k_tok = jax.random.split(rng, 4)
     nc = cfg.num_classes
 
-    model = UNet3DFEAM(num_classes=nc, weight_std=True, deep_up=cfg.deep_up,
-                       remat=cfg.remat)
-    tokens = init_class_tokens(k_tok, nc)
+    model, refiner, disc = build_models(cfg)
+    tokens = init_class_tokens(k_tok, nc, dims=token_dims_for(cfg))
     tiny = jnp.zeros((1, 16, 32, 32, 1))
     # jit the inits: unjitted flax init dispatches hundreds of single ops
     params = jax.jit(model.init)(k_model, tiny, tokens)
 
-    refiner = RefinerUNet3D(num_classes=2, weight_std=True, init_filter=24, in_channel=2)
     rparams = jax.jit(refiner.init)(k_ref, jnp.zeros((1, 32, 32, 32, 2)))
 
     if cfg.deep_up:
-        disc = NormStyleDiscriminator()
-        dparams = jax.jit(disc.init)(k_disc, jnp.zeros((1, 32, 32, 32, 2)))
+        # init spatial = 2**(depth-1): the smallest size where every pyramid
+        # level is non-empty (the trace just shapes the params)
+        s = 2 ** (cfg.disc_depth - 1)
+        dparams = jax.jit(disc.init)(k_disc, jnp.zeros((1, s, s, s, 2)))
     else:
-        disc = DeepStyleDiscriminator()
         dparams = jax.jit(disc.init)(
             k_disc,
             jnp.zeros((1, 32, 96, 96, 2)),

@@ -39,6 +39,10 @@ try:
     jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # No XLA-level AOT artifacts: XLA:CPU AOT entries bake in host machine
+    # features and fail to load on a different CPU (round-2 driver capture),
+    # so only the portable StableHLO-keyed cache is kept.
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 except Exception:
     pass
 

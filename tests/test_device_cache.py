@@ -77,6 +77,68 @@ class TestBatchParity:
             n += 1
         assert n == 2 * (len(ds) // 2)
 
+    def test_mesh_global_batch_matches_per_shard(self, ds):
+        """Mesh mode (data:4): the shard_map'd global-batch program must
+        equal 4 single-shard batches assembled with the SAME idxs/starts and
+        stacked into the sharded-step layout (parallel.mesh.shard_batch) —
+        augs off so the per-shard PRNG fold is irrelevant."""
+        from multimodal_pl_tpu.parallel.mesh import make_mesh, shard_batch
+
+        from tests.conftest import cpu_devices
+
+        mesh = make_mesh("data:4", cpu_devices())
+        pipe = DeviceDataPipeline(ds, compute_dtype=jnp.float32, augment=False,
+                                  mesh=mesh)
+        single = DeviceDataPipeline(ds, compute_dtype=jnp.float32, augment=False)
+        assert pipe.n_shards == 4
+
+        rng = np.random.default_rng(5)
+        n = len(ds)
+        idxs = rng.integers(0, n, 4).astype(np.int32)
+        starts = single.draw_starts(4)
+        zero_p = {k: jnp.zeros(1, jnp.float32) for k in _AUG_KEYS}
+        key = jax.random.PRNGKey(0)
+
+        img, lab, cat, sup, lt = pipe._make_global(
+            pipe.images, pipe.labels, pipe.catlas, pipe.sup, pipe.lt,
+            jnp.asarray(idxs.reshape(4, 1)), jnp.asarray(starts.reshape(4, 1, 3)),
+            jnp.zeros((4, 1, 3), jnp.float32),
+            {k: jnp.zeros((4, 1), jnp.float32) for k in _AUG_KEYS}, key)
+
+        shards = []
+        for s in range(4):
+            b = single._make_batch(
+                single.images, single.labels, single.catlas, single.sup,
+                single.lt, jnp.asarray(idxs[s: s + 1]),
+                jnp.asarray(starts[s: s + 1]), jnp.zeros((1, 3), jnp.float32),
+                zero_p, key)
+            shards.append({k: np.asarray(v) for k, v in b.items()})
+        want = shard_batch(shards)
+
+        np.testing.assert_allclose(np.asarray(img), want["image"], atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(lab), want["label"])
+        np.testing.assert_allclose(np.asarray(cat), want["catlas"], atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(sup), want["sup_mask"])
+        np.testing.assert_array_equal(np.asarray(lt), want["label_t"])
+
+    def test_mesh_batches_iterator_layout(self, ds):
+        """batches() in mesh mode yields sharded-step global batches and
+        consumes n_shards * batch_size samples per step."""
+        from multimodal_pl_tpu.parallel.mesh import make_mesh
+
+        from tests.conftest import cpu_devices
+
+        mesh = make_mesh("data:2", cpu_devices())
+        pipe = DeviceDataPipeline(ds, compute_dtype=jnp.bfloat16, mesh=mesh)
+        n = 0
+        for b in pipe.batches(1, epochs=2):
+            assert b["image"].shape == (2, 24, 32, 32, 1)
+            assert b["catlas"].shape == (2, 13, 24, 32, 32)
+            assert b["sup_mask"].shape == (2, 14)
+            assert b["label_t"].shape == (2, 13)
+            n += 1
+        assert n == 2 * (len(ds) // 2)
+
     def test_nonuniform_shapes_rejected(self, ds):
         class Mixed:
             crop_d, crop_h, crop_w = ds.crop_d, ds.crop_h, ds.crop_w

@@ -3,6 +3,8 @@ including the FULL sharded train step (segmenter + refiner + GAN + token EMA)
 run end-to-end on a data:8 mesh and pinned against the single-device step
 (DDP equivalence: reference engine.py:57 + train:314-315 semantics)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -91,32 +93,34 @@ def test_pmean_grads_match_global_mean(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
 
 
-class TestFullShardedStep:
+class ShardedStepParity:
     """End-to-end parity of make_sharded_train_step on the data:8 CPU mesh.
 
-    Shapes/config match the driver's dryrun_multichip exactly so the XLA
-    program is shared through the persistent compile cache. 64^3 is the
-    smallest patch the full GAN step allows (discriminator geometry).
+    Two geometry tiers (subclasses below): the tiny 32^3 tier matches the
+    driver's dryrun_multichip geometry and compiles cold in minutes on a
+    1-vCPU host; the production 64^3 tier (the smallest patch the full-size
+    GAN step allows — discriminator geometry) is gated behind
+    MPL_HEAVY_TESTS=1 because its cold compile exceeds an hour on 1 vCPU
+    (round-2 verdict: the suite must be runnable cold anywhere).
     """
 
-    P = (64, 64, 64)
+    P = (32, 32, 32)
     NC = 14
+
+    @staticmethod
+    def make_cfg():
+        raise NotImplementedError
 
     @pytest.fixture(scope="class")
     def setup(self):
-        from multimodal_pl_tpu.models import (
-            NormStyleDiscriminator, RefinerUNet3D, UNet3DFEAM,
-        )
         from multimodal_pl_tpu.parallel.sharded_step import make_sharded_train_step
-        from multimodal_pl_tpu.train import StepConfig, create_train_state
+        from multimodal_pl_tpu.train import create_train_state
+        from multimodal_pl_tpu.train.state import build_models
         from multimodal_pl_tpu.train.step import build_step_body
 
-        cfg = StepConfig(num_classes=self.NC, deep_up=True, augmask=2, weight_gan=1e-3)
+        cfg = self.make_cfg()
         state = create_train_state(jax.random.PRNGKey(0), cfg)
-        model = UNet3DFEAM(num_classes=self.NC, weight_std=True, deep_up=True)
-        refiner = RefinerUNet3D(num_classes=2, weight_std=True, init_filter=24,
-                                in_channel=2)
-        disc = NormStyleDiscriminator()
+        model, refiner, disc = build_models(cfg)
         mesh = make_mesh("data:8", cpu_devices())
         sharded_step = make_sharded_train_step(model, refiner, disc, cfg, mesh)
         # un-donated twin of make_train_step so the fixture state can be reused
@@ -184,6 +188,35 @@ class TestFullShardedStep:
             per_dev.append(float(m["loss"]))
         np.testing.assert_allclose(float(m_sh["loss"]), np.mean(per_dev),
                                    rtol=1e-5)
+
+
+class TestFullShardedStepTiny(ShardedStepParity):
+    """Dryrun-geometry tier: cold-host feasible, same step STRUCTURE and
+    collectives as production (both forwards, 3 losses, 2 optimizers,
+    psum'd token EMA, pmean'd grads)."""
+
+    @staticmethod
+    def make_cfg():
+        from multimodal_pl_tpu.train.state import tiny_step_config
+
+        return tiny_step_config(num_classes=14, deep_up=True, augmask=2,
+                                weight_gan=1e-3)
+
+
+@pytest.mark.skipif(not os.environ.get("MPL_HEAVY_TESTS"),
+                    reason="production 64^3 geometry compiles >1h cold on a "
+                           "1-vCPU host; set MPL_HEAVY_TESTS=1 to run")
+class TestFullShardedStepFull(ShardedStepParity):
+    """Production-geometry tier (StepConfig defaults, 64^3 patch)."""
+
+    P = (64, 64, 64)
+
+    @staticmethod
+    def make_cfg():
+        from multimodal_pl_tpu.train import StepConfig
+
+        return StepConfig(num_classes=14, deep_up=True, augmask=2,
+                          weight_gan=1e-3)
 
 
 def test_sharded_sliding_matches_single_device(rng):

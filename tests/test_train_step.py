@@ -5,28 +5,30 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from multimodal_pl_tpu.models import (
-    NormStyleDiscriminator,
-    RefinerUNet3D,
-    UNet3DFEAM,
-)
 from multimodal_pl_tpu.train import StepConfig, TrainState, create_train_state, make_train_step
-from multimodal_pl_tpu.train.state import fresh_adam_update, torch_sgd_update
+from multimodal_pl_tpu.train.state import (
+    build_models,
+    fresh_adam_update,
+    tiny_step_config,
+    torch_sgd_update,
+)
 from multimodal_pl_tpu.train.step import poly_lr
 
-# smallest patch the full GAN step allows: the discriminator's six stride-2
-# convs need >= 64 per spatial dim (and the refiner needs divisibility by 32)
-P = (64, 64, 64)
+# tiny-geometry tier (matches the driver's dryrun_multichip): full step
+# STRUCTURE — both forwards, 3 losses, 2 optimizers, token EMA — compiled
+# cold in minutes on a 1-vCPU host. 32^3 is the smallest patch its stride
+# pyramids allow (refiner 5 stride-2 levels; disc depth 5 -> final 1^3).
+# The production 64^3 geometry is covered by tests/test_parallel.py's
+# MPL_HEAVY_TESTS-gated TestFullShardedStepFull tier.
+P = (32, 32, 32)
 NC = 14
 
 
 @pytest.fixture(scope="module")
 def setup():
-    cfg = StepConfig(num_classes=NC, deep_up=True, augmask=2, weight_gan=1e-3)
+    cfg = tiny_step_config(num_classes=NC, deep_up=True, augmask=2, weight_gan=1e-3)
     state = create_train_state(jax.random.PRNGKey(0), cfg)
-    model = UNet3DFEAM(num_classes=NC, weight_std=True, deep_up=True)
-    refiner = RefinerUNet3D(num_classes=2, weight_std=True, init_filter=24, in_channel=2)
-    disc = NormStyleDiscriminator()
+    model, refiner, disc = build_models(cfg)
     step = make_train_step(model, refiner, disc, cfg)
 
     rng = np.random.default_rng(0)
@@ -162,8 +164,7 @@ def test_step_seg_loss_composition(setup):
 
     cfg, state, step, batch = setup
     state = _clone(state)
-    model = UNet3DFEAM(num_classes=NC, weight_std=True, deep_up=True)
-    refiner = RefinerUNet3D(num_classes=2, weight_std=True, init_filter=24, in_channel=2)
+    model, refiner, _ = build_models(cfg)
     wf = jnp.float32(0.08)
 
     logits, attns, deeps, _, _ = model.apply(state.params, batch["image"], state.tokens)
@@ -193,10 +194,11 @@ def test_check_refine_grad_capacity():
     class StubDS:
         # CT case 40 supervises one organ; the single-organ AMOS csv never
         # exceeds 1, so capacity 2 passes and capacity 0 must raise
-        files = ["x/amos_0040_0000.nii.gz", "x/amos_0500_0000.nii.gz"]
+        cids = [40, 500]
 
-        def _sup_mask(self, cid):
-            return supervision_mask_for_case(cid)
+        def supervision_rows(self):
+            for cid in self.cids:
+                yield supervision_mask_for_case(cid), label_t_of(cid)
 
     got = check_refine_grad_capacity(StubDS(), StepConfig(refine_grad_organs=2))
     want = int(np.sum(supervision_mask_for_case(40)[1:] * label_t_of(40)))
@@ -205,3 +207,34 @@ def test_check_refine_grad_capacity():
     if want > 0:
         with pytest.raises(ValueError, match="refine_grad_organs"):
             check_refine_grad_capacity(StubDS(), StepConfig(refine_grad_organs=0))
+
+
+def test_check_refine_grad_capacity_requires_interface():
+    """A dataset without supervision_rows must fail FAST, not silently skip
+    the guard (round-2 verdict: getattr(..., 'files', []) no-op'd for wrapped
+    datasets and refiner gradients would silently drop tlist organs)."""
+    from multimodal_pl_tpu.train.loop import check_refine_grad_capacity
+
+    class Wrapped:  # e.g. a device pipeline or custom source without metadata
+        pass
+
+    with pytest.raises(TypeError, match="supervision_rows"):
+        check_refine_grad_capacity(Wrapped(), StepConfig())
+
+
+def test_check_refine_grad_capacity_over_capacity_multisource():
+    """An over-capacity case in ANY dataset exposing the interface (incl.
+    MultiSourceDataset, which inherits supervision_rows) fails fast."""
+    import numpy as np
+
+    from multimodal_pl_tpu.train.loop import check_refine_grad_capacity
+
+    class OverCap:
+        def supervision_rows(self):
+            sup = np.zeros(14, np.float32)
+            sup[1:6] = 1.0                      # five supervised organs
+            yield sup, np.ones(13, np.float32)  # all labeled-modality
+
+    with pytest.raises(ValueError, match="refine_grad_organs"):
+        check_refine_grad_capacity(OverCap(), StepConfig(refine_grad_organs=2))
+    assert check_refine_grad_capacity(OverCap(), StepConfig(refine_grad_organs=5)) == 5
