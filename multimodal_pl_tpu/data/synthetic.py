@@ -47,8 +47,24 @@ def make_case(rng: np.random.Generator, shape=(96, 96, 80), num_fg: int = 13,
         r = base_r * rng.uniform(0.8, 1.3)
         d2 = (zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2
         ndist[organ - 1] = np.sqrt(d2) / r
-    nearest = np.argmin(ndist, axis=0)
-    inside = np.take_along_axis(ndist, nearest[None], 0)[0] < 1.0
+    # Nearest-center carving can starve crowded organs (the round-2 campaign's
+    # organs 1-2 ended up 2-3 voxels — the atlas carried no mass there and the
+    # partial-label machinery had nothing to train; PERF.md). Boost the radius
+    # of any organ whose carved volume falls below a viable floor until every
+    # organ keeps a trainable core.
+    boost = np.ones((num_fg, 1, 1, 1), np.float32)
+    # floor: a quarter of an uncrowded sphere's volume, capped so it only
+    # rescues swallowed organs (600 vox ~= a 5.2-voxel-radius core)
+    floor = max(64, min(600, int(0.25 * 4.19 * base_r ** 3)))
+    for _ in range(6):
+        nd = ndist / boost
+        nearest = np.argmin(nd, axis=0)
+        inside = np.take_along_axis(nd, nearest[None], 0)[0] < 1.0
+        counts = np.bincount((nearest[inside]).ravel(), minlength=num_fg)
+        starving = counts < floor
+        if not starving.any():
+            break
+        boost[starving, 0, 0, 0] *= 1.3
     label[inside] = (nearest[inside] + 1).astype(np.uint8)
     for organ in range(1, num_fg + 1):
         image[label == organ] += 150 + 20 * organ

@@ -28,7 +28,7 @@ CAMPAIGN_CT_IDS = [
 ][: 22]
 
 
-def generate(root: str, seed: int = 7):
+def generate(root: str, seed: int = 7, ct_only: bool = False):
     import numpy as np
     from scipy.ndimage import gaussian_filter
 
@@ -44,7 +44,11 @@ def generate(root: str, seed: int = 7):
     os.makedirs(img_dir, exist_ok=True)
     os.makedirs(lab_dir, exist_ok=True)
 
-    ids = sorted(CAMPAIGN_CT_IDS) + list(range(500, 506))
+    # ct_only: BASELINE.json config 3 (the reference's
+    # AMOSDataSet_newatlas_onlyct regime — no unlabeled modality, so the GAN
+    # generator term has an empty flist and training rides the marginal
+    # Dice/CE + refiner/atlas consistency machinery alone)
+    ids = sorted(CAMPAIGN_CT_IDS) + ([] if ct_only else list(range(500, 506)))
     labels_sum = np.zeros((num_fg, *shape), np.float32)
     for cid in ids:
         modality = "mri" if cid >= 500 else "ct"
@@ -68,12 +72,14 @@ def main():
     ap.add_argument("--epochs", type=int, default=800)
     ap.add_argument("--snapshot_dir", default="/tmp/synth_pl/snapshots")
     ap.add_argument("--skip_gen", action="store_true")
+    ap.add_argument("--ct_only", action="store_true",
+                    help="no MRI cases (BASELINE.json config 3 regime)")
     ap.add_argument("--batch_size", type=int, default=3)
     ap.add_argument("--val_every", type=int, default=50)
     args = ap.parse_args()
 
     if not args.skip_gen:
-        generate(args.root)
+        generate(args.root, ct_only=args.ct_only)
 
     from multimodal_pl_tpu.cli.train import main as train_main
 

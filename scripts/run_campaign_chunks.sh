@@ -3,13 +3,15 @@
 # With --device_data the axon transfer-buffer leak is moot (per-step H2D is
 # bytes), so chunks exist only as crash insurance; each chunk resumes from
 # the latest orbax checkpoint and the LR schedule horizon stays --num_epochs.
-# Usage: run_campaign_chunks.sh [ROOT=/tmp/synth_pl] [TOTAL=2500] [CHUNK=800]
+# Usage: run_campaign_chunks.sh [ROOT=/tmp/synth_pl] [TOTAL=2500] [CHUNK=800] [STEPS_PER_EPOCH=6]
 set -u
 ROOT="${1:-/tmp/synth_pl}"
 TOTAL="${2:-2500}"
 CHUNK="${3:-800}"
 SNAP="$ROOT/snapshots"
-STEPS_PER_EPOCH=6   # 19 train cases / bs 3
+# 6 = ceil(19 train cases / bs 3) for the 28-case multimodal set;
+# the 22-case CT-only set has 15 train cases -> 5
+STEPS_PER_EPOCH="${4:-6}"
 
 while true; do
   latest=$(ls "$SNAP" 2>/dev/null | grep '^ckpt_' | sed 's/ckpt_//' | sort -n | tail -1)
