@@ -114,12 +114,17 @@ def main():
     oneshot_dt = statistics.median(oneshot_dts)
 
     # ---- reference-style per-tile Python loop on the same chip ----
+    # median of 3: the loop is transfer-bound through the axon tunnel and has
+    # swung 86-159 s/vol across rounds on this contended host
     tile_fwd = jax.jit(fwd)
     _sync(tile_fwd(jnp.zeros((1, *TILE, 1))))  # compile
     apply_naive = lambda t: np.asarray(tile_fwd(jnp.asarray(t)))
-    t0 = time.time()
-    predict_sliding_naive(apply_naive, vol, TILE, NC)
-    naive_dt = time.time() - t0
+    naive_dts = []
+    for _ in range(3):
+        t0 = time.time()
+        predict_sliding_naive(apply_naive, vol, TILE, NC)
+        naive_dts.append(time.time() - t0)
+    naive_dt = statistics.median(naive_dts)
     naive_vps = 1.0 / naive_dt
 
     result = {
@@ -136,7 +141,8 @@ def main():
           f"one-shot no-overlap: {oneshot_dt:.3f}s/vol "
           f"(prefetch overlap saves {oneshot_dt - fast_dt:.3f}s/vol; the serial "
           f"reference loop has no such overlap) | "
-          f"reference-style loop on same chip: {naive_dt:.3f}s/vol | "
+          f"reference-style loop on same chip: {naive_dt:.3f}s/vol "
+          f"(median of {', '.join(f'{d:.1f}' for d in naive_dts)}) | "
           f"speedup {fast_vps / naive_vps:.2f}x", file=sys.stderr)
 
 

@@ -34,8 +34,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 _DN = ("NDHWC", "DHWIO", "NDHWC")
 
+# im2col-in-VMEM single-matmul kernel body (vs 8 accumulating matmuls);
+# flipped by the microbench, baked in here once measured on hardware.
+CONCAT_DEFAULT = False
 
-def _kernel(x_hbm, w_ref, out_ref, xs, acc, sems, *, th: int, wo: int):
+
+def _kernel(x_hbm, w_ref, out_ref, xs, acc, sems, *, th: int, wo: int,
+            concat: bool = False):
     """One grid step: out rows [h*th, (h+1)*th) of depth-slice d, batch b.
 
     The input band DMA is double-buffered across grid steps: each step kicks
@@ -70,21 +75,36 @@ def _kernel(x_hbm, w_ref, out_ref, xs, acc, sems, *, th: int, wo: int):
 
     band_dma(slot, b, d, h).wait()
 
-    acc[...] = jnp.zeros_like(acc)
-    for a in range(2):
-        for bb in range(2):
-            for c in range(2):
-                view = xs[slot, a, bb:bb + th, c:c + wo, :].reshape(th * wo, k)
-                acc[...] += jax.lax.dot_general(
-                    view, w_ref[a, bb, c],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+    if concat:
+        # single K=8k matmul against the 8 concatenated shifted views — the
+        # im2col formulation, materialized only in VMEM (never HBM). One
+        # accumulator pass instead of 8 read-modify-writes of the f32 tile.
+        views = [
+            xs[slot, a, bb:bb + th, c:c + wo, :].reshape(th * wo, k)
+            for a in range(2) for bb in range(2) for c in range(2)
+        ]
+        big = jnp.concatenate(views, axis=-1)                  # (th*wo, 8k)
+        acc[...] = jax.lax.dot_general(
+            big, w_ref[...].reshape(8 * k, w_ref.shape[-1]),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        acc[...] = jnp.zeros_like(acc)
+        for a in range(2):
+            for bb in range(2):
+                for c in range(2):
+                    view = xs[slot, a, bb:bb + th, c:c + wo, :].reshape(th * wo, k)
+                    acc[...] += jax.lax.dot_general(
+                        view, w_ref[a, bb, c],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
     out_ref[0, 0] = acc[...].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("th", "wo"))
-def _k2_valid_pallas(x, w, th: int, wo: int):
+@functools.partial(jax.jit, static_argnames=("th", "wo", "concat"))
+def _k2_valid_pallas(x, w, th: int, wo: int, concat: bool = False):
     """k2 conv computing output extents (Di-1, Hi-1, wo). Caller guarantees
     the Mosaic tiling constraints: Wi % 8 == 0 (the DMA'd band's sublane
     extent must be 8-aligned), wo % 8 == 0, wo + 1 <= Wi, (Hi-1) % th == 0.
@@ -95,7 +115,7 @@ def _k2_valid_pallas(x, w, th: int, wo: int):
     nh = ho // th
 
     out = pl.pallas_call(
-        functools.partial(_kernel, th=th, wo=wo),
+        functools.partial(_kernel, th=th, wo=wo, concat=concat),
         grid=(bsz, do, nh),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),      # x stays in HBM
@@ -121,12 +141,14 @@ def _k2_valid_xla(x, w):
                                     dimension_numbers=_DN)
 
 
-def _k2_impl(x, w, pad: int, th: int):
+def _k2_impl(x, w, pad: int, th: int, concat: bool | None = None):
     """Dense k2 conv with symmetric spatial zero ``pad`` (0 or 1) through the
     Pallas kernel, padding H/W up to the kernel's tiling requirements
     (W band 8-aligned for the DMA, output rows th-aligned) and slicing the
     result back. Falls back to XLA conv_general for shapes the kernel does
     not handle (tiny spatial dims)."""
+    if concat is None:
+        concat = CONCAT_DEFAULT
     if pad:
         x = jnp.pad(x, [(0, 0)] + [(pad, pad)] * 3 + [(0, 0)])
     bsz, di, hi, wi, k = x.shape
@@ -142,7 +164,7 @@ def _k2_impl(x, w, pad: int, th: int):
     hi_k = ho_k + 1
     if hi_k != hi or wi_k != wi:
         x = jnp.pad(x, [(0, 0), (0, 0), (0, hi_k - hi), (0, wi_k - wi), (0, 0)])
-    out = _k2_valid_pallas(x, w, th, wo_k)
+    out = _k2_valid_pallas(x, w, th, wo_k, concat)
     if ho_k != ho or wo_k != wo:
         out = out[:, :, :ho, :wo, :]
     return out

@@ -20,7 +20,8 @@ import statistics
 import time
 
 
-def run_config(name: str, pallas_k2: bool, pallas_gn: bool, patch, steps: int):
+def run_config(name: str, pallas_k2: bool, pallas_gn: bool, patch, steps: int,
+               batch: int = 1, remat: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -33,19 +34,21 @@ def run_config(name: str, pallas_k2: bool, pallas_gn: bool, patch, steps: int):
     from multimodal_pl_tpu.train import StepConfig, create_train_state, make_train_step
 
     cfg = StepConfig(num_classes=14, deep_up=True, augmask=2, weight_gan=1e-3,
-                     compute_dtype=jnp.bfloat16,
+                     compute_dtype=jnp.bfloat16, remat=remat,
                      pallas_k2=pallas_k2, pallas_gn=pallas_gn)
     state = create_train_state(jax.random.PRNGKey(0), cfg)
-    model = UNet3DFEAM(num_classes=14, weight_std=True, deep_up=True)
+    model = UNet3DFEAM(num_classes=14, weight_std=True, deep_up=True,
+                       remat=remat)
     refiner = RefinerUNet3D(num_classes=2, weight_std=True, init_filter=24,
                             in_channel=2)
     disc = NormStyleDiscriminator()
     step = make_train_step(model, refiner, disc, cfg)
 
     rng = np.random.default_rng(0)
+    b = batch
     batch = {
-        "image": jnp.asarray(rng.standard_normal((1, *patch, 1)), jnp.float32),
-        "label": jnp.asarray(rng.integers(0, 14, (1, *patch)), jnp.int32),
+        "image": jnp.asarray(rng.standard_normal((b, *patch, 1)), jnp.float32),
+        "label": jnp.asarray(rng.integers(0, 14, (b, *patch)), jnp.int32),
         "catlas": jnp.asarray(rng.random((13, *patch)), jnp.float32),
         "sup_mask": jnp.asarray([0, 0, 0, 1] + [0] * 10, jnp.float32),
         "label_t": jnp.asarray([0, 0, 0, 0, 1, 1, 1, 1, 1, 0, 1, 1, 1], jnp.float32),
@@ -65,9 +68,9 @@ def run_config(name: str, pallas_k2: bool, pallas_gn: bool, patch, steps: int):
         _ = float(metrics["loss"])  # forced sync
         times.append(time.perf_counter() - t0)
     med = statistics.median(times)
-    print(f"{name:8s} median {med * 1e3:7.1f} ms/step  "
-          f"({1.0 / med:.2f} patches/s)  min {min(times) * 1e3:.1f}  "
-          f"max {max(times) * 1e3:.1f}")
+    print(f"{name:8s} b{b} median {med * 1e3:7.1f} ms/step  "
+          f"({b / med:.2f} patches/s)  min {min(times) * 1e3:.1f}  "
+          f"max {max(times) * 1e3:.1f}", flush=True)
     return med
 
 
@@ -76,6 +79,8 @@ def main():
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--patch", default="64,192,192")
     ap.add_argument("--configs", default="xla,k2")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
     patch = tuple(map(int, args.patch.split(",")))
 
@@ -87,7 +92,8 @@ def main():
              "gn": (False, True), "k2gn": (True, True)}
     for name in args.configs.split(","):
         k2, gn = flags[name]
-        run_config(name, k2, gn, patch, args.steps)
+        run_config(name, k2, gn, patch, args.steps, batch=args.batch,
+                   remat=args.remat)
 
 
 if __name__ == "__main__":
