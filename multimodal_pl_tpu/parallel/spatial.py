@@ -70,3 +70,44 @@ def make_spatial_apply(
 def put_spatial(x, mesh: Mesh, axis: str = "space", spatial: str = "H"):
     """Commit a host/device NDHWC array to the spatially-sharded layout."""
     return jax.device_put(x, spatial_sharding(mesh, axis, spatial))
+
+
+def make_spatial_train_step(model, refiner, disc, cfg, mesh: Mesh,
+                            axis: str = "space", spatial: str = "H"):
+    """The FULL fused train step (train/step.py) with its activations
+    spatially sharded over ``axis`` — volumetric model parallelism for
+    B=1 patches too large for one chip's HBM (e.g. the BASELINE config-5
+    128^3+ regime at f32, or >192^2 in-plane patches).
+
+    Beyond reference parity: the reference's only parallelism is DP
+    (SURVEY §2), which cannot help when a SINGLE patch exceeds device
+    memory. Here the batch's spatial axis is sharded and the state
+    replicated; XLA's SPMD partitioner threads the sharding through both
+    forwards, all three losses, both backwards and the token EMA,
+    inserting conv halo exchanges and cross-slab reductions itself. The
+    result is numerically the single-device step (up to reduction
+    ordering — pinned by tests/test_parallel.py::TestSpatialTrainStep).
+    """
+    from multimodal_pl_tpu.train.step import build_step_body
+
+    body = build_step_body(model, refiner, disc, cfg, axis_name=None)
+    rep = NamedSharding(mesh, P())
+    idx = _SPATIAL_AXES[spatial]
+    spec5 = [None] * 5
+    spec5[idx] = axis                      # (B, D, H, W, 1) image
+    spec4 = [None] * 4
+    spec4[idx] = axis                      # (B, D, H, W) label / (13, D, H, W) catlas
+    img_s = NamedSharding(mesh, P(*spec5))
+    vol_s = NamedSharding(mesh, P(*spec4))
+
+    def step(state, batch, lr, weight_feature):
+        state = jax.lax.with_sharding_constraint(state, rep)
+        batch = dict(
+            batch,
+            image=jax.lax.with_sharding_constraint(batch["image"], img_s),
+            label=jax.lax.with_sharding_constraint(batch["label"], vol_s),
+            catlas=jax.lax.with_sharding_constraint(batch["catlas"], vol_s),
+        )
+        return body(state, batch, lr, weight_feature)
+
+    return jax.jit(step, donate_argnums=(0,))
