@@ -1,0 +1,20 @@
+#!/bin/bash
+# Kill the campaign trainer child (by PPID, never by pattern) when its log
+# stops advancing for >STALL_S seconds; run_campaign_chunks.sh then resumes
+# the chunk from the latest checkpoint. Guards against silent axon-tunnel
+# hangs (observed: main thread futex-parked, axon-conn-read waiting forever).
+LOG="${1:?log}"; LOOP_PID="${2:?loop pid}"; STALL_S="${3:-420}"
+while kill -0 "$LOOP_PID" 2>/dev/null; do
+  sleep 60
+  [ -f "$LOG" ] || continue
+  age=$(( $(date +%s) - $(stat -c %Y "$LOG") ))
+  if [ "$age" -gt "$STALL_S" ]; then
+    child=$(ps --ppid "$LOOP_PID" -o pid= | head -1 | tr -d ' ')
+    if [ -n "$child" ]; then
+      echo "[watchdog $(date +%H:%M:%S)] log stalled ${age}s — killing trainer $child" >> "$LOG"
+      kill "$child" 2>/dev/null
+      sleep 30
+      kill -9 "$child" 2>/dev/null
+    fi
+  fi
+done

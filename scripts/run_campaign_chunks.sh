@@ -3,6 +3,14 @@
 # With --device_data the axon transfer-buffer leak is moot (per-step H2D is
 # bytes), so chunks exist only as crash insurance; each chunk resumes from
 # the latest orbax checkpoint and the LR schedule horizon stays --num_epochs.
+#
+# The axon tunnel can also HANG silently (main thread futex-parked while
+# axon-conn-read waits forever on the socket — observed round 3, epoch 538),
+# which a crash-retry loop cannot detect. Pair this runner with
+# scripts/campaign_watchdog.sh, which kills the trainer child whenever the
+# log stops advancing so this loop's retry kicks in:
+#   nohup bash scripts/run_campaign_chunks.sh ROOT T C > LOG 2>&1 &
+#   nohup scripts/campaign_watchdog.sh LOG $! 420 >/dev/null 2>&1 &
 # Usage: run_campaign_chunks.sh [ROOT=/tmp/synth_pl] [TOTAL=2500] [CHUNK=800] [STEPS_PER_EPOCH=6]
 set -u
 ROOT="${1:-/tmp/synth_pl}"
