@@ -37,5 +37,8 @@ while true; do
     --learning_rate 5e-4 --pretrain_epoch 20 --cache_data true \
     --device_data true \
     --reload_from_checkpoint true --start_epoch "$start" --stop_epoch "$stop" \
-    || { echo "chunk failed (rc=$?)"; sleep 10; }
+    || { echo "chunk failed (rc=$?)"; sleep 120; }
+    # 120 s with ZERO clients: a wedged axon tunnel (round-3 observation)
+    # only resets once every client connection is gone for a while — an
+    # immediate respawn reconnects into the wedge and hangs again.
 done
