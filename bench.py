@@ -134,6 +134,15 @@ def main():
         "value": round(fast_vps, 4),
         "unit": "volumes/sec/chip",
         "vs_baseline": round(fast_vps / naive_vps, 3),
+        # Self-description (VERDICT r3 item 10): what vs_baseline compares
+        # against, plus the baseline's own measured spread so the headline
+        # reports its noise. The reference log records no GPU throughput
+        # (BASELINE.md), so the baseline is NOT the 3-GPU rig.
+        "baseline": "reference-style per-tile Python loop (f32, per-tile "
+                    "host<->device transfer + host Gaussian accumulate, "
+                    "evaluate_amos.py:211-279) on the SAME TPU chip",
+        "baseline_s_per_vol": [round(d, 1) for d in naive_dts],
+        "streaming_s_per_vol": [round(d, 3) for d in epoch_dts],
     }
     print(json.dumps(result))
     print(f"# streaming (median of {N_EPOCHS} epochs x {REPS} vols): {fast_dt:.3f}s/vol "

@@ -61,7 +61,10 @@ def truncate_intensity(vol: np.ndarray, case_id: int) -> np.ndarray:
     if int(case_id) < 500:
         vol = np.clip(vol, -325.0, 325.0) / 325.0
     else:
-        vol = (vol - vol.mean()) / (vol.std() + 0.0)
+        # The reference divides by an unguarded std (MOTSDataset.py:171-186);
+        # a constant-intensity volume (possible after an aggressive body crop
+        # on a corrupt case) would yield NaNs that poison the step. Guard it.
+        vol = (vol - vol.mean()) / max(float(vol.std()), 1e-6)
     return vol
 
 

@@ -223,7 +223,7 @@ class DeviceDataPipeline:
         self._make_batch = jax.jit(make_batch)
 
         if mesh is not None:
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
             def shard_fn(images, labels, catlas, sup, lt, idxs, starts, flips,
@@ -242,7 +242,7 @@ class DeviceDataPipeline:
                 in_specs=(P(), P(), P(), P(), P(),
                           P("data"), P("data"), P("data"), P("data"), P()),
                 out_specs=(P("data"),) * 5,
-                check_rep=False,
+                check_vma=False,
             ))
 
     def draw_starts(self, batch: int) -> np.ndarray:

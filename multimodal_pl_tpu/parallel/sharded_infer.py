@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from multimodal_pl_tpu.infer.gaussian import gaussian_importance_map
 from multimodal_pl_tpu.infer.sliding import make_window_grid, pad_to_bucket
@@ -89,7 +89,7 @@ class ShardedSlidingWindowPredictor:
             mesh=self.mesh,
             in_specs=(P(), P(self.axis)) + (P(),) * n_extra,
             out_specs=P(),
-            check_rep=False,
+            check_vma=False,
         )
         return jax.jit(sharded)
 

@@ -20,7 +20,7 @@ from typing import Optional, Sequence
 
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from multimodal_pl_tpu.train.state import StepConfig
 from multimodal_pl_tpu.train.step import build_step_body
@@ -56,7 +56,7 @@ def make_sharded_train_step(model, refiner, disc, cfg: StepConfig,
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
 
     @partial(jax.jit, donate_argnums=(0,))

@@ -38,7 +38,7 @@ def main():
     enable_compile_cache()
 
     from multimodal_pl_tpu.data.dataset import AMOSDataset
-    from multimodal_pl_tpu.infer.metrics import organ_scores
+    from multimodal_pl_tpu.infer.metrics import organ_scores, organ_scores_atlas
     from multimodal_pl_tpu.infer.sliding import SlidingWindowPredictor
     from multimodal_pl_tpu.models import UNet3DFEAM
     from multimodal_pl_tpu.train.checkpoint import latest_checkpoint, restore_checkpoint
@@ -64,6 +64,14 @@ def main():
                "mri": [np.zeros(nfg), np.zeros(nfg)]}
     unsup_sum, unsup_cnt = np.zeros(nfg), np.zeros(nfg)
     sup_vals, unsup_vals = [], []
+    # The reference's own eval semantics (evaluate_amos.py:146): per-channel
+    # binary threshold (p + 0.15) > (1 - atlas) instead of plain argmax. A
+    # never-supervised organ channel can absorb the softmax background
+    # residual (no 'be zero' pressure anywhere) and drown its argmax dice in
+    # false positives; the atlas blend suppresses far-from-prior mass, which
+    # is how the reference reads the same predictions.
+    unsup_sum_a, unsup_cnt_a = np.zeros(nfg), np.zeros(nfg)
+    unsup_vals_a = []
 
     for usage in ("valid", "test"):
         ds = AMOSDataset(os.path.join(args.root, "imagesTr"), crop_size=tile,
@@ -73,6 +81,10 @@ def main():
             logits = predictor(s.image[..., 0], state.params, state.tokens)
             dice, _, _, _ = organ_scores(logits[None], jnp.asarray(s.label)[None], nfg)
             dice = np.asarray(dice)
+            catlas = jnp.asarray(s.catlas.transpose(1, 2, 3, 0))[None]
+            dice_a, _, _ = organ_scores_atlas(
+                logits[None], jnp.asarray(s.label)[None], catlas, nfg)
+            dice_a = np.asarray(dice_a)
             mod = "mri" if s.case_id >= 500 else "ct"
             buckets[mod][0] += dice
             buckets[mod][1] += 1
@@ -82,6 +94,9 @@ def main():
             unsup_vals.extend(dice[~sup].tolist())
             unsup_sum[~sup] += dice[~sup]
             unsup_cnt[~sup] += 1
+            unsup_vals_a.extend(dice_a[~sup].tolist())
+            unsup_sum_a[~sup] += dice_a[~sup]
+            unsup_cnt_a[~sup] += 1
             print(f"  case {s.case_id:04d} ({mod}, {usage}) mean {dice.mean():.3f} "
                   f"sup {dice[sup].mean() if sup.any() else float('nan'):.3f} "
                   f"unsup {dice[~sup].mean():.3f}")
@@ -99,6 +114,11 @@ def main():
     print("per-organ dice over cases where that organ was UNSUPERVISED:")
     print("  " + " ".join(f"{v:.3f}" for v in per_unsup))
     print(f"  organs > 0.3: {int((per_unsup > 0.3).sum())} / {nfg}")
+    per_unsup_a = unsup_sum_a / np.maximum(unsup_cnt_a, 1)
+    print(f"[atlas-blended eval, (p+0.15)>(1-atlas), evaluate_amos.py:146] "
+          f"unsupervised mean: {np.mean(unsup_vals_a):.4f}")
+    print("  " + " ".join(f"{v:.3f}" for v in per_unsup_a))
+    print(f"  organs > 0.3: {int((per_unsup_a > 0.3).sum())} / {nfg}")
 
 
 if __name__ == "__main__":

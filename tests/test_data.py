@@ -103,6 +103,14 @@ class TestDatasetGeometry:
         np.testing.assert_allclose(out.mean(), 0, atol=1e-5)
         np.testing.assert_allclose(out.std(), 1, atol=1e-4)
 
+    def test_truncate_mri_constant_volume_no_nan(self):
+        # std == 0: the reference would emit NaN (MOTSDataset.py:171-186);
+        # the guarded divide must return finite zeros instead.
+        v = np.full((8, 8, 8), 42.0, np.float32)
+        out = truncate_intensity(v, 520)
+        assert np.all(np.isfinite(out))
+        np.testing.assert_allclose(out, 0.0)
+
     def test_pad_to(self):
         v = np.zeros((3, 4, 5))
         assert pad_to(v, (6, 4, 7)).shape == (6, 4, 7)

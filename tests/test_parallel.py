@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from multimodal_pl_tpu.models.tokens import renew_tokens
 from multimodal_pl_tpu.parallel.mesh import make_mesh, shard_batch
@@ -65,7 +65,7 @@ def test_renew_tokens_psum_across_devices(rng):
         shard_fn, mesh=mesh,
         in_specs=(P(), P("data"), P("data")),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     got = jax.jit(sharded)(tokens, feats, fmask)
     want = renew_tokens(tokens, [feats], fmask, alpha=0.5)  # global single-device
@@ -87,7 +87,7 @@ def test_pmean_grads_match_global_mean(rng):
         return jax.lax.pmean(g, "data")
 
     sharded = shard_map(shard_grads, mesh=mesh, in_specs=(P(), P("data")),
-                        out_specs=P(), check_rep=False)
+                        out_specs=P(), check_vma=False)
     got = jax.jit(sharded)(w, x)
     want = jax.grad(loss)(w, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
