@@ -14,9 +14,12 @@ import jax.numpy as jnp
 
 from multimodal_pl_tpu.ops.conv import conv3d, standardize_kernel
 from multimodal_pl_tpu.ops.s2d import (
+    _s2d_gn_fold,
+    k2_fused_gn_enabled,
     s2d_conv1x1,
     s2d_conv3x3,
     s2d_conv4x4,
+    s2d_gn_relu_conv3x3,
     s2d_group_norm,
 )
 
@@ -173,7 +176,7 @@ class WSConv3dS2D(nn.Module):
     packing: str = "a"
 
     @nn.compact
-    def __call__(self, xb):
+    def __call__(self, xb, gn_fold=None):
         kd, kh, kw = self.kernel
         ci = xb.shape[-1] // 8
         w = self.param(
@@ -186,6 +189,13 @@ class WSConv3dS2D(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
             bias = bias.astype(xb.dtype)
+        if gn_fold is not None:
+            # fused GN->ReLU->conv input path (ops/s2d.s2d_gn_relu_conv3x3);
+            # xb is the RAW pre-norm tensor, gn_fold the stats fold from
+            # GroupNormS2D(fold=True). Only the k3/stride-1/no-bias config.
+            assert (kd, kh, kw) == (3, 3, 3) and self.stride == 1 and bias is None
+            return s2d_gn_relu_conv3x3(xb, gn_fold[0], gn_fold[1], w,
+                                       packing=self.packing)
         if (kd, kh, kw) == (1, 1, 1):
             return s2d_conv1x1(xb, w, packing=self.packing, stride=self.stride, bias=bias)
         assert (kd, kh, kw) == (3, 3, 3), "s2d path supports k3/pad1 and k1/pad0 only"
@@ -224,10 +234,15 @@ class GroupNormS2D(nn.Module):
     packing: str = "a"
 
     @nn.compact
-    def __call__(self, xb):
+    def __call__(self, xb, fold: bool = False):
         c = xb.shape[-1] // 8
         scale = self.param("scale", nn.initializers.ones_init(), (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros_init(), (c,), jnp.float32)
+        if fold:
+            # return the statistics fold (arow, brow) for the fused
+            # GN->ReLU->conv path instead of normalizing here
+            return _s2d_gn_fold(xb, scale, bias, self.num_groups, self.eps,
+                                self.packing)
         return s2d_group_norm(xb, scale, bias, self.num_groups, self.eps,
                               packing=self.packing)
 
@@ -279,17 +294,32 @@ class NoBottleneckS2D(nn.Module):
         inplanes = xb.shape[-1] // 8
         needs_proj = self.stride != 1 or inplanes != self.features
 
-        out = GroupNormS2D(self.group, packing="s", name="gn1")(xb)
-        out = nn.relu(out)
-        out = WSConv3dS2D(
-            self.features, stride=self.stride, weight_std=self.weight_std,
-            packing="s", name="conv1"
-        )(out)
-        if self.stride == 1:
-            out = GroupNormS2D(self.group, packing="a", name="gn2")(out)
+        fused = k2_fused_gn_enabled() and self.stride == 1
+        if fused:
+            # GN+ReLU ride the conv kernel's input path (normalized tensor
+            # never hits HBM); identical math + param tree, eval-only gate.
+            fold = GroupNormS2D(self.group, packing="s", name="gn1")(xb, fold=True)
+            out = WSConv3dS2D(
+                self.features, stride=1, weight_std=self.weight_std,
+                packing="s", name="conv1"
+            )(xb, gn_fold=fold)
+        else:
+            out = GroupNormS2D(self.group, packing="s", name="gn1")(xb)
             out = nn.relu(out)
-            out = WSConv3dS2D(self.features, stride=1, weight_std=self.weight_std,
-                              packing="a", name="conv2")(out)
+            out = WSConv3dS2D(
+                self.features, stride=self.stride, weight_std=self.weight_std,
+                packing="s", name="conv1"
+            )(out)
+        if self.stride == 1:
+            if fused:
+                fold = GroupNormS2D(self.group, packing="a", name="gn2")(out, fold=True)
+                out = WSConv3dS2D(self.features, stride=1, weight_std=self.weight_std,
+                                  packing="a", name="conv2")(out, gn_fold=fold)
+            else:
+                out = GroupNormS2D(self.group, packing="a", name="gn2")(out)
+                out = nn.relu(out)
+                out = WSConv3dS2D(self.features, stride=1, weight_std=self.weight_std,
+                                  packing="a", name="conv2")(out)
         else:
             out = GroupNorm(self.group, name="gn2")(out)
             out = nn.relu(out)

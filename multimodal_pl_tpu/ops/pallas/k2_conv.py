@@ -118,7 +118,7 @@ def _k2_valid_pallas(x, w, th: int, wo: int, concat: bool = False):
         functools.partial(_kernel, th=th, wo=wo, concat=concat),
         grid=(bsz, do, nh),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # x stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),     # full kernel
         ],
         out_specs=pl.BlockSpec((1, 1, th * wo, n),
@@ -139,6 +139,170 @@ def _k2_valid_pallas(x, w, th: int, wo: int, concat: bool = False):
 def _k2_valid_xla(x, w):
     return lax.conv_general_dilated(x, w, (1, 1, 1), [(0, 0)] * 3,
                                     dimension_numbers=_DN)
+
+
+# --------------------------------------------------------------------------- #
+# fused GroupNorm -> ReLU -> k2 conv (inference path)
+# --------------------------------------------------------------------------- #
+#
+# The pre-activation pattern GN -> ReLU -> conv costs a full activation
+# round-trip between the normalize pass and the conv read. Folding the
+# normalize into the conv kernel's input path removes it: the wrapper
+# computes the group statistics in XLA (cheap per-channel partials, one read
+# of x) and folds them with the affine params into per-(sample, channel) rows
+# A = inv * scale, B = bias - mean * inv * scale; the kernel then applies
+# t = relu(x * A + B), masked to zero at out-of-range positions, on the
+# DMA'd band in VMEM before its matmuls. The mask replaces BOTH the s2d
+# boundary-slab re-zeroing of shifted GroupNorm (ops/s2d.py
+# s2d_group_norm(packing='s')) and the conv 'SAME' zero padding:
+#
+#   mode 'a': buffer coords carry a baked symmetric pad of 1 (+ alignment
+#             pads); position i is valid iff 1 <= i <= n_axis (slot-blind).
+#   mode 's': shifted packing; per axis with last real block n_axis,
+#             (block i, slot p) is valid iff 1 <= i + p <= n_axis (the
+#             closed form of "(0, slot0) and (n, slot1) are out of range",
+#             alignment-pad blocks i > n_axis invalid in both slots).
+#
+# Forward-only by design (mirrors the _K2_PALLAS eval gate): training keeps
+# the unfused path whose VJP is already tuned.
+
+
+def _gn_kernel(x_hbm, w_ref, a_ref, b_ref, out_ref, xs, ts, acc, sems, *,
+               th: int, wo: int, mode: str, bounds, c: int):
+    """Band kernel of :func:`_k2_valid_pallas` with a fused masked
+    normalize+ReLU transform between the DMA wait and the matmuls.
+
+    bounds: (nd, nh, nw) — last VALID coordinate per axis (see module note).
+    c: voxel channels (lane slot stride) for mode 's'.
+    """
+    b = pl.program_id(0)
+    d = pl.program_id(1)
+    h = pl.program_id(2)
+    nd_g = pl.num_programs(1)
+    nh_g = pl.num_programs(2)
+    k = x_hbm.shape[-1]
+    i = (b * nd_g + d) * nh_g + h
+    n_steps = pl.num_programs(0) * nd_g * nh_g
+    slot = jax.lax.rem(i, 2)
+    nd, nh, nw = bounds
+
+    def band_dma(to_slot, bb, dd, hh):
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(dd, 2), pl.ds(hh * th, th + 1)],
+            xs.at[to_slot], sems.at[to_slot])
+
+    @pl.when(i == 0)
+    def _():
+        band_dma(0, b, d, h).start()
+
+    @pl.when(i + 1 < n_steps)
+    def _():
+        i1 = i + 1
+        h1 = jax.lax.rem(i1, nh_g)
+        t = jax.lax.div(i1, nh_g)
+        band_dma(jax.lax.rem(i1, 2), jax.lax.div(t, nd_g), jax.lax.rem(t, nd_g), h1).start()
+
+    band_dma(slot, b, d, h).wait()
+
+    av = a_ref[0, 0]                                   # (k,) f32
+    bv = b_ref[0, 0]
+    for a in range(2):
+        x = xs[slot, a].astype(jnp.float32)            # (th+1, wi, k)
+        rows = h * th + lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        cols = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        if mode == "s":
+            lane = lax.broadcasted_iota(jnp.int32, x.shape, 2)
+            pd = lane // (4 * c)
+            ph = (lane // (2 * c)) % 2
+            pw = (lane // c) % 2
+            valid = (((d + a + pd >= 1) & (d + a + pd <= nd))
+                     & ((rows + ph >= 1) & (rows + ph <= nh))
+                     & ((cols + pw >= 1) & (cols + pw <= nw)))
+        else:
+            valid = (((d + a >= 1) & (d + a <= nd))
+                     & ((rows >= 1) & (rows <= nh))
+                     & ((cols >= 1) & (cols <= nw)))
+        t = jnp.maximum(x * av + bv, 0.0)
+        ts[a] = jnp.where(valid, t, 0.0).astype(ts.dtype)
+
+    acc[...] = jnp.zeros_like(acc)
+    for a in range(2):
+        for bb in range(2):
+            for cc in range(2):
+                view = ts[a, bb:bb + th, cc:cc + wo, :].reshape(th * wo, k)
+                acc[...] += jax.lax.dot_general(
+                    view, w_ref[a, bb, cc],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+    out_ref[0, 0] = acc[...].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("th", "wo", "mode", "bounds"))
+def _k2_gn_valid_pallas(x, w, arow, brow, th: int, wo: int, mode: str, bounds):
+    """Masked-normalize k2 conv; same tiling contract as _k2_valid_pallas.
+    arow/brow: (B, 1, K) f32 per-sample fold of the group statistics."""
+    bsz, di, hi, wi, k = x.shape
+    n = w.shape[-1]
+    do, ho = di - 1, hi - 1
+    nh = ho // th
+    c = k // 8
+
+    out = pl.pallas_call(
+        functools.partial(_gn_kernel, th=th, wo=wo, mode=mode, bounds=bounds, c=c),
+        grid=(bsz, do, nh),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # x stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # full kernel
+            pl.BlockSpec((1, 1, k), lambda b, d, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k), lambda b, d, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, th * wo, n),
+                               lambda b, d, h: (b, d, h, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, do, ho * wo, n), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, th + 1, wi, k), x.dtype),   # double-buffered band
+            pltpu.VMEM((2, th + 1, wi, k), x.dtype),      # transformed band
+            pltpu.VMEM((th * wo, n), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(x, w, arow, brow)
+    return out.reshape(bsz, do, ho, wo, n)
+
+
+def k2_gn_conv(x, w, arow, brow, mode: str, th: int = 8):
+    """Fused masked-GN+ReLU k2 conv (forward only).
+
+    x: RAW (un-normalized) block tensor. mode 'a': caller has NOT padded —
+    the symmetric SAME pad of 1 is applied here (pad values are dead: the
+    in-kernel mask zeroes them post-transform). mode 's': shifted packing,
+    no pad. Returns None if the shape falls outside the kernel's tiling
+    contract (caller falls back to the unfused path).
+    """
+    if mode == "a":
+        nd, nh, nw = x.shape[1], x.shape[2], x.shape[3]   # last valid = orig n
+        x = jnp.pad(x, [(0, 0)] + [(1, 1)] * 3 + [(0, 0)])
+    else:
+        nd, nh, nw = x.shape[1] - 1, x.shape[2] - 1, x.shape[3] - 1
+    bsz, di, hi, wi, k = x.shape
+    n = w.shape[-1]
+    do, ho, wo = di - 1, hi - 1, wi - 1
+    if do < 1 or ho < th or wo < 8 or k % 128 or n % 128:
+        return None
+    wo_k = -(-wo // 8) * 8
+    wi_k = -(-(wo_k + 1) // 8) * 8
+    ho_k = -(-ho // th) * th
+    hi_k = ho_k + 1
+    if hi_k != hi or wi_k != wi:
+        x = jnp.pad(x, [(0, 0), (0, 0), (0, hi_k - hi), (0, wi_k - wi), (0, 0)])
+    out = _k2_gn_valid_pallas(x, w, arow, brow, th, wo_k, mode, (nd, nh, nw))
+    if ho_k != ho or wo_k != wo:
+        out = out[:, :, :ho, :wo, :]
+    return out
 
 
 def _k2_impl(x, w, pad: int, th: int, concat: bool | None = None):

@@ -228,6 +228,23 @@ def k2_pallas_enabled() -> bool:
     return _K2_PALLAS
 
 
+# Fused GN->ReLU->k2 Pallas kernel (ops/pallas/k2_conv.py k2_gn_conv): the
+# group statistics are computed in XLA (one read of x) and the normalize +
+# ReLU + boundary masking ride the conv kernel's input path in VMEM — the
+# normalized activation tensor is never materialized in HBM. Inference-only
+# (no VJP), enabled by mpl-evaluate/bench alongside --pallas_k2.
+_K2_FUSED_GN = False
+
+
+def set_k2_fused_gn(enabled: bool) -> None:
+    global _K2_FUSED_GN
+    _K2_FUSED_GN = bool(enabled)
+
+
+def k2_fused_gn_enabled() -> bool:
+    return _K2_FUSED_GN
+
+
 def _k2_conv_im2col(xb: jax.Array, wp: jax.Array, pad: int) -> jax.Array:
     """k2 stride-1 conv as ONE matmul: concatenate the 8 shifted views on the
     channel axis (K = 8 * C_in) and contract against the flattened kernel.
@@ -387,6 +404,70 @@ def s2d_group_norm(xb: jax.Array, scale: jax.Array, bias: jax.Array,
     gvar = pool(jnp.sum(jnp.square(dev), axis=(1, 2, 3))) / n_tot
     v = (dev * expand(lax.rsqrt(gvar + eps))).astype(xb.dtype)
     return v * scale_b + bias_b
+
+
+def _s2d_gn_fold(xb: jax.Array, scale: jax.Array, bias: jax.Array,
+                 num_groups: int, eps: float, packing: str):
+    """Group statistics of :func:`s2d_group_norm`, folded into per-(sample,
+    block-channel) affine rows A, B (f32, shape (B, 1, 8C)) such that
+    normalize(x) * scale + bias == x * A + B. One read of xb; the normalize
+    itself is applied downstream (inside the fused conv kernel)."""
+    b = xb.shape[0]
+    c8 = xb.shape[-1]
+    c = c8 // 8
+    cpg = c // num_groups
+    spatial = xb.shape[1:4]
+
+    def expand(g):  # (b, G) -> (b, 8C)
+        return jnp.tile(jnp.repeat(g, cpg, axis=-1), (1, 8))
+
+    def pool(cs):  # (b, 8C) -> (b, G)
+        return cs.reshape(b, 8, num_groups, cpg).sum(axis=(1, 3))
+
+    xf = xb.astype(jnp.float32)
+    if packing == "s":
+        interior = _interior_select(xb, c)
+        n_true = float(np.prod([2 * (s - 1) for s in spatial])) * cpg
+        xm = jnp.where(interior, xf, 0.0)
+        gmean = pool(jnp.sum(xm, axis=(1, 2, 3))) / n_true
+        dev = jnp.where(interior, xf - expand(gmean)[:, None, None, None, :], 0.0)
+        gvar = pool(jnp.sum(jnp.square(dev), axis=(1, 2, 3))) / n_true
+    else:
+        n_tot = float(np.prod(spatial)) * 8 * cpg
+        gmean = pool(jnp.sum(xf, axis=(1, 2, 3))) / n_tot
+        dev = xf - expand(gmean)[:, None, None, None, :]
+        gvar = pool(jnp.sum(jnp.square(dev), axis=(1, 2, 3))) / n_tot
+    inv = expand(lax.rsqrt(gvar + eps))                 # (b, 8C)
+    mean = expand(gmean)
+    sc = jnp.tile(scale.astype(jnp.float32), 8)[None]   # (1, 8C)
+    bi = jnp.tile(bias.astype(jnp.float32), 8)[None]
+    arow = inv * sc
+    brow = bi - mean * arow
+    return arow[:, None, :], brow[:, None, :]           # (b, 1, 8C)
+
+
+def s2d_gn_relu_conv3x3(xb: jax.Array, arow: jax.Array, brow: jax.Array,
+                        w: jax.Array, packing: str) -> jax.Array:
+    """relu(group_norm(xb)) -> stride-1 k3 conv, with the normalize fused
+    into the Pallas k2 kernel's input path (never materialized in HBM).
+
+    (arow, brow) is the statistics fold from :func:`_s2d_gn_fold`; ``w`` is
+    the (optionally pre-standardized) voxel kernel. Exact same math as
+    s2d_group_norm -> relu -> s2d_conv3x3 (the in-kernel mask reproduces
+    both the shifted boundary zeroing and the conv SAME padding); falls back
+    to the unfused composition off the kernel's tiling contract."""
+    from multimodal_pl_tpu.ops.pallas.k2_conv import k2_gn_conv
+
+    wp = assemble_kernel_s1(w).astype(xb.dtype)
+    out = k2_gn_conv(xb, wp, arow, brow, mode=packing)
+    if out is None:
+        t = jnp.maximum(xb.astype(jnp.float32) * arow[:, 0][:, None, None, None, :]
+                        + brow[:, 0][:, None, None, None, :], 0.0).astype(xb.dtype)
+        if packing == "s":
+            t = jnp.where(_interior_select(xb, xb.shape[-1] // 8), t,
+                          jnp.zeros((), xb.dtype))
+        return s2d_conv3x3(t, w, packing=packing, stride=1)
+    return out
 
 
 def s2d_upsample_trilinear(x: jax.Array, packing: str = "a") -> jax.Array:

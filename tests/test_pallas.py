@@ -142,3 +142,77 @@ class TestK2Conv:
         got = K.k2_conv(x, w, pad=0)  # wo < 8 -> XLA path, no pallas
         want = K._k2_valid_xla(x, w)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+    def test_forward_128lane_exercises_kernel(self, rng):
+        """128-aligned channels actually enter the Pallas kernel (the sub-128
+        shapes above take the XLA fallback by the k%128 contract check)."""
+        import multimodal_pl_tpu.ops.pallas.k2_conv as K
+        x = jnp.asarray(rng.standard_normal((1, 2, 9, 9, 128)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((2, 2, 2, 128, 128)).astype(np.float32) * 0.1)
+        for pad in (0, 1):
+            got = K.k2_conv(x, w, pad=pad)
+            xp = jnp.pad(x, [(0, 0)] + [(pad, pad)] * 3 + [(0, 0)]) if pad else x
+            want = K._k2_valid_xla(xp, w)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-3, atol=1e-3, err_msg=f"pad={pad}")
+
+
+class TestFusedGNK2Conv:
+    """Fused GN->ReLU->k2 conv (k2_gn_conv / s2d_gn_relu_conv3x3) vs the
+    unfused composition, interpret mode, kernel-exercising 128-lane shapes."""
+
+    def _xb(self, rng, shape):
+        return jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+
+    def test_fused_matches_unfused_both_packings(self, rng):
+        from multimodal_pl_tpu.ops import s2d
+
+        w = jnp.asarray(rng.standard_normal((3, 3, 3, 16, 16)).astype(np.float32) * 0.2)
+        scale = jnp.asarray(rng.standard_normal(16).astype(np.float32))
+        bias = jnp.asarray(rng.standard_normal(16).astype(np.float32))
+        for packing, shape in (("s", (2, 5, 9, 9, 128)), ("a", (2, 4, 8, 8, 128))):
+            xb = self._xb(rng, shape)
+            y = s2d.s2d_group_norm(xb, scale, bias, 4, packing=packing)
+            want = s2d.s2d_conv3x3(jax.nn.relu(y), w, packing=packing, stride=1)
+            arow, brow = s2d._s2d_gn_fold(xb, scale, bias, 4, 1e-5, packing)
+            got = s2d.s2d_gn_relu_conv3x3(xb, arow, brow, w, packing)
+            assert got.shape == want.shape
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-3, atol=2e-3, err_msg=packing)
+
+    def test_fold_fallback_matches_unfused(self, rng):
+        """Shapes off the kernel contract (k%128 != 0) take the in-wrapper
+        fallback, which must match the unfused composition too."""
+        from multimodal_pl_tpu.ops import s2d
+
+        xb = self._xb(rng, (1, 4, 9, 9, 24))          # c=3 -> k=24, fallback
+        w = jnp.asarray(rng.standard_normal((3, 3, 3, 3, 5)).astype(np.float32))
+        scale = jnp.asarray(rng.standard_normal(3).astype(np.float32))
+        bias = jnp.asarray(rng.standard_normal(3).astype(np.float32))
+        for packing in ("s", "a"):
+            y = s2d.s2d_group_norm(xb, scale, bias, 1, packing=packing)
+            want = s2d.s2d_conv3x3(jax.nn.relu(y), w, packing=packing, stride=1)
+            arow, brow = s2d._s2d_gn_fold(xb, scale, bias, 1, 1e-5, packing)
+            got = s2d.s2d_gn_relu_conv3x3(xb, arow, brow, w, packing)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-4, atol=1e-4, err_msg=packing)
+
+    def test_model_flag_matches_unfused(self, rng):
+        """set_k2_fused_gn routes NoBottleneckS2D's stride-1 convs through the
+        fused path with an unchanged param tree and matching output."""
+        from multimodal_pl_tpu.models.blocks import NoBottleneckS2D
+        from multimodal_pl_tpu.ops import s2d
+
+        xb = self._xb(rng, (1, 5, 9, 9, 128))          # shifted, c=16
+        m = NoBottleneckS2D(16, stride=1, group=4)
+        params = m.init(jax.random.PRNGKey(0), xb)
+        want = m.apply(params, xb)
+        try:
+            s2d.set_k2_fused_gn(True)
+            params2 = m.init(jax.random.PRNGKey(0), xb)
+            got = m.apply(params, xb)
+        finally:
+            s2d.set_k2_fused_gn(False)
+        assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=2e-3)
