@@ -66,12 +66,14 @@ def main():
     REPS = 5        # volumes per streaming epoch
     N_EPOCHS = 5    # timed epochs; headline = median
 
-    from multimodal_pl_tpu.ops.s2d import set_k2_pallas
+    from multimodal_pl_tpu.ops.s2d import set_k2_fused_gn, set_k2_pallas
 
     # Pallas fused-gather k2 conv: -27% on the flagship eval forward
     # (159 -> 117 ms at batch 2, PERF.md round-2 log) — the shipping
-    # inference configuration (mpl-evaluate --pallas_k2).
+    # inference configuration (mpl-evaluate --pallas_k2), plus the round-4
+    # fused GN->ReLU input path (mpl-evaluate --fused_gn).
     set_k2_pallas(jax.default_backend() == "tpu")
+    set_k2_fused_gn(jax.default_backend() == "tpu")
 
     model = UNet3DFEAM(num_classes=NC, weight_std=True, deep_up=True)
     tokens = init_class_tokens(jax.random.PRNGKey(1), NC)

@@ -48,6 +48,10 @@ def get_arguments() -> argparse.ArgumentParser:
                    help="Pallas fused-gather k2 conv for the s2d block-domain "
                         "stages (-27%% on the tile forward on v5e; TPU only — "
                         "ignored on other backends)")
+    p.add_argument("--fused_gn", type=str2bool, default=True,
+                   help="fuse GN->ReLU into the Pallas k2 conv's input path "
+                        "(normalized activations never round-trip HBM; "
+                        "TPU-only, requires --pallas_k2)")
     p.add_argument("--mesh", type=str, default="",
                    help="device mesh: 'data:N' shards windows (DP); "
                         "'space:N' splits each window's H axis across chips "
@@ -125,7 +129,12 @@ def main(argv=None):
 
         # TPU-only: other backends fall back to interpret mode, which is
         # orders of magnitude slower than the XLA lowering
-        set_k2_pallas(_jax.default_backend() == "tpu")
+        on_tpu = _jax.default_backend() == "tpu"
+        set_k2_pallas(on_tpu)
+        if args.fused_gn:
+            from multimodal_pl_tpu.ops.s2d import set_k2_fused_gn
+
+            set_k2_fused_gn(on_tpu)
 
     model = UNet3DFEAM(num_classes=args.num_classes, weight_std=args.weight_std,
                        deep_up=args.deep_up)

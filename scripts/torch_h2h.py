@@ -92,14 +92,17 @@ def _install_mots_stub(root: str):
     class AMOSDataSet_newatlas:
         def __init__(self, data_dir, max_iters=None, crop_size=(64, 64, 64),
                      scale=False, mirror=False, usage="train"):
+            # max_iters accepted-and-ignored EXACTLY like the reference
+            # (MOTSDataset.py stores it and never consumes it): one epoch =
+            # one full pass over the split — the same epoch semantics as
+            # mpl-train, which makes the loss curves directly comparable.
             self.ds = AMOSDataset(data_dir, crop_size=crop_size, usage=usage,
                                   atlas=atlas, supervision_csv=csvp,
                                   mirror=mirror, scale=scale)
             self.n = len(self.ds)
-            self.len = int(max_iters) if max_iters else self.n
 
         def __len__(self):
-            return self.len
+            return self.n
 
         def __getitem__(self, i):
             s = self.ds[i % self.n]
@@ -151,7 +154,17 @@ PATCHES = [
      "refine_loss = get_loss_refine(refiner_output, cmask, tlist, args.augmask)\n"
      "                if not torch.is_tensor(refine_loss):\n"
      "                    refine_loss = torch.zeros((), dtype=preds.dtype)"),
-    # (5) validate() is .cuda()-only; checkpoints are evaluated out-of-band
+    # (5) the snapshot's mask_aug is numpy-only (np.zeros(dtype=torch.float32)
+    # TypeErrors) but the driver passes a torch tensor under the launch
+    # config's augmask=2 (utils.py:76-114) — same duplication semantics,
+    # torch-compatible
+    ("from utils import adjust_learning_rate, mask_aug, seedfix",
+     "from utils import adjust_learning_rate, seedfix\n"
+     "def mask_aug(mask, aug_times=2):\n"
+     "    if aug_times <= 1:\n"
+     "        return mask\n"
+     "    return torch.repeat_interleave(mask, aug_times, dim=0)"),
+    # (6) validate() is .cuda()-only; checkpoints are evaluated out-of-band
     ("r1, r2 = validate(args, input_size, [model], valloader, args.num_classes, engine)",
      "r1, r2 = 0., 0.  # h2h: validate() is cuda-only; eval'd out-of-band"),
     ("if c_results > best_result or epoch % 100 == 0:",
@@ -195,9 +208,13 @@ def main():
     ap.add_argument("--root", default="/tmp/synth_pl")
     ap.add_argument("--workdir", default="/tmp/h2h")
     ap.add_argument("--input_size", default="64,96,96")
+    # batch_size 1 = the reference's own CPU recipe (run_amos_atlas_final_mac.sh);
+    # also the snapshot's only *working* batch size: EAM.forward rebinds B_ to
+    # the token batch (1) before the kv reshape (unet3D.py:189-198), so any
+    # batch>1 crashes — the training log predates this regression.
     ap.add_argument("--num_epochs", type=int, default=200)
-    ap.add_argument("--batch_size", type=int, default=3)
-    ap.add_argument("--itrs_each_epoch", type=int, default=6)
+    ap.add_argument("--batch_size", type=int, default=1)
+    ap.add_argument("--itrs_each_epoch", type=int, default=18)
     ap.add_argument("--learning_rate", default="5e-4")
     ap.add_argument("--pretrain_epoch", type=int, default=20)
     ap.add_argument("--weight_gan", default="1e-3")
@@ -221,6 +238,27 @@ def main():
 
     sys.path.insert(0, REF)
     sys.path.insert(0, args.workdir)
+
+    # SURVEY.md §2.2 item 2: loss_partial.py's autocast import is commented
+    # out (loss_partial.py:4) but used at :90 whenever uce=True — i.e. on
+    # every get_loss call. Inject the symbol (enabled=False on CPU is the
+    # only way it is ever called).
+    import loss_functions.loss_partial as _lp
+
+    if not hasattr(_lp, "autocast"):
+        _lp.autocast = lambda enabled=False: torch.amp.autocast("cpu", enabled=enabled)
+
+    # bce_loss moves its constant target via y_pred.get_device(), which is -1
+    # on CPU and crashes .to() (losses.py:471-475) — same math, .device
+    # instead. Patched on the module BEFORE the trainer imports the symbol.
+    import loss_functions.losses as _ls
+
+    def _bce_loss_cpu(y_pred, y_label):
+        t = torch.full((y_pred.shape[0],), float(y_label),
+                       device=y_pred.device).long()
+        return _ls.SmoothCrossEntropyLoss()(y_pred, t)
+
+    _ls.bce_loss = _bce_loss_cpu
 
     sys.argv = [
         "train_ref_h2h.py",
