@@ -223,29 +223,32 @@ class SlidingWindowPredictor:
         out = self._jitted[key](*dargs, *extra)
         return out[: orig[0], : orig[1], : orig[2]]
 
-    def predict_iter(self, images, *extra):
+    def predict_iter(self, images, *extra, prefetch_depth: int = 2):
         """Streaming inference over an iterable of host volumes with
-        one-volume transfer/compute overlap: while volume i runs on device,
-        volume i+1's host->device copy is already in flight (the tunnel/PCIe
-        copy otherwise serializes with compute and costs ~30-50% of wall
-        time per volume). Yields blended logits per volume, in order."""
+        transfer/compute overlap: while volume i runs on device, the next
+        ``prefetch_depth`` volumes' host->device copies are already in
+        flight (the tunnel/PCIe copy otherwise serializes with compute and
+        costs ~30-50% of wall time per volume). Depth > 1 keeps the link
+        busy across the inter-volume host gaps (yield + consumer sync) that
+        a single-slot prefetch leaves idle. Yields blended logits per
+        volume, in order."""
+        from collections import deque
+
         images = iter(images)
-        pending = None  # (dargs, orig, key)
-        while True:
-            if pending is None:
+        pending = deque()  # of (dargs, orig, key)
+
+        def fill():
+            while len(pending) < max(1, prefetch_depth):
                 try:
-                    pending = self._prepare(next(images))
+                    pending.append(self._prepare(next(images)))
                 except StopIteration:
                     return
-            dargs, orig, key = pending
+
+        fill()
+        while pending:
+            dargs, orig, key = pending.popleft()
             out = self._jitted[key](*dargs, *extra)  # async dispatch
-            # enqueue the NEXT volume's transfer while this one computes
-            try:
-                pending = self._prepare(next(images))
-            except StopIteration:
-                pending = None
-                yield out[: orig[0], : orig[1], : orig[2]]
-                return
+            fill()  # enqueue further transfers while this volume computes
             yield out[: orig[0], : orig[1], : orig[2]]
 
 

@@ -68,9 +68,18 @@ def run_config(name: str, pallas_k2: bool, pallas_gn: bool, patch, steps: int,
         _ = float(metrics["loss"])  # forced sync
         times.append(time.perf_counter() - t0)
     med = statistics.median(times)
+    hbm = ""
+    try:
+        ms = jax.local_devices()[0].memory_stats()
+        peak = ms.get("peak_bytes_in_use", 0) / 2**30
+        lim = ms.get("bytes_limit", 0) / 2**30
+        if peak:
+            hbm = f"  HBM peak {peak:.2f}G" + (f"/{lim:.2f}G" if lim else "")
+    except Exception:
+        pass
     print(f"{name:8s} b{b} median {med * 1e3:7.1f} ms/step  "
           f"({b / med:.2f} patches/s)  min {min(times) * 1e3:.1f}  "
-          f"max {max(times) * 1e3:.1f}", flush=True)
+          f"max {max(times) * 1e3:.1f}{hbm}", flush=True)
     return med
 
 
