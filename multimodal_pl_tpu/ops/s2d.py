@@ -39,6 +39,8 @@ tests/test_s2d.py.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -243,6 +245,25 @@ def set_k2_fused_gn(enabled: bool) -> None:
 
 def k2_fused_gn_enabled() -> bool:
     return _K2_FUSED_GN
+
+
+@contextmanager
+def pallas_inference_scope(k2: bool = True, fused_gn: bool = True):
+    """Trace-time scope routing k2 convs through the inference-only Pallas
+    paths for a gradient-free subgraph.
+
+    The train step's no-grad refiner complement pass (train_amos_atlas_final
+    .py:289-290 — its output feeds the loss only through stop_gradient) never
+    runs a VJP, so it can take the same fused GN->ReLU->k2 kernels the
+    evaluator uses even while the surrounding step is differentiated.
+    """
+    global _K2_PALLAS, _K2_FUSED_GN
+    prev = (_K2_PALLAS, _K2_FUSED_GN)
+    _K2_PALLAS, _K2_FUSED_GN = bool(k2), bool(fused_gn)
+    try:
+        yield
+    finally:
+        _K2_PALLAS, _K2_FUSED_GN = prev
 
 
 def _k2_conv_im2col(xb: jax.Array, wp: jax.Array, pad: int) -> jax.Array:

@@ -67,6 +67,11 @@ class StepConfig:
     # fused-gather kernel (ops/pallas/k2_conv.py). Applied globally via
     # ops.s2d.set_k2_pallas at step/predictor build time.
     pallas_k2: bool = flax.struct.field(pytree_node=False, default=False)
+    # route the step's GRADIENT-FREE subgraph (the no-grad all-organ refiner
+    # complement pass, train_amos_atlas_final.py:289-290) through the
+    # inference-only fused GN->ReLU->k2 Pallas path, the same kernels
+    # mpl-evaluate ships with. Differentiated subgraphs are unaffected.
+    pallas_infer: bool = flax.struct.field(pytree_node=False, default=False)
     # ---- model geometry (defaults == the reference network; the tiny
     # values exist so the driver's multichip dryrun and the cold-host test
     # tier can compile the FULL step structure in minutes on 1 vCPU) ----

@@ -130,10 +130,19 @@ def build_step_body(model, refiner, disc, cfg: StepConfig, axis_name: str | None
         # is reassembled by scatter — identical values, 13/(13-k) less
         # refiner forward work than rerunning all organs.
         if k < nfg:
-            rlogits_rest = refiner.apply(
-                jax.lax.stop_gradient(rparams),
-                (organ_probs[rest_idx], catlas_c[rest_idx])
-            ).astype(jnp.float32)
+            from multimodal_pl_tpu.ops.s2d import pallas_inference_scope
+
+            # this pass is gradient-free by construction (rparams and both
+            # inputs are stop_gradient'd), so when cfg.pallas_infer is set it
+            # takes the inference-only fused GN->ReLU->k2 kernels — the
+            # normalized activations never round-trip HBM, same as eval
+            with pallas_inference_scope(cfg.pallas_infer or cfg.pallas_k2,
+                                        cfg.pallas_infer):
+                rlogits_rest = refiner.apply(
+                    jax.lax.stop_gradient(rparams),
+                    (jax.lax.stop_gradient(organ_probs[rest_idx]),
+                     jax.lax.stop_gradient(catlas_c[rest_idx]))
+                ).astype(jnp.float32)
             rlogits = (
                 jnp.zeros((nfg, *rlogits_rest.shape[1:]), jnp.float32)
                 .at[sup_idx].set(jax.lax.stop_gradient(rlogits_sup))

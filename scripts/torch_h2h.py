@@ -164,6 +164,16 @@ PATCHES = [
      "    if aug_times <= 1:\n"
      "        return mask\n"
      "    return torch.repeat_interleave(mask, aug_times, dim=0)"),
+    # (7) the snapshot never passes deep_up into the segmenter ctor
+    # (train:118), leaving the model's default deep_up=False (unet3D.py:940):
+    # the attention maps stay at their feature resolutions while get_loss
+    # masks them with the FULL-res confidence mask (losses.py:166-168) —
+    # guaranteed IndexError at loss_partial.py:27 the moment the consistency
+    # term activates (epoch >= pretrain_epoch). The 500-epoch training log
+    # ran past epoch 20 for 480 epochs, so the log-producing code passed
+    # deep_up; restore that (the launch config sets --deep_up True).
+    ("model = unet3D_with_feam3([1, 2, 2, 2, 2], num_classes=args.num_classes, weight_std=args.weight_std)",
+     "model = unet3D_with_feam3([1, 2, 2, 2, 2], num_classes=args.num_classes, weight_std=args.weight_std, deep_up=args.deep_up)"),
     # (6) validate() is .cuda()-only; checkpoints are evaluated out-of-band
     ("r1, r2 = validate(args, input_size, [model], valloader, args.num_classes, engine)",
      "r1, r2 = 0., 0.  # h2h: validate() is cuda-only; eval'd out-of-band"),

@@ -21,7 +21,7 @@ import time
 
 
 def run_config(name: str, pallas_k2: bool, pallas_gn: bool, patch, steps: int,
-               batch: int = 1, remat: bool = False):
+               batch: int = 1, remat: bool = False, pallas_infer: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -35,7 +35,8 @@ def run_config(name: str, pallas_k2: bool, pallas_gn: bool, patch, steps: int,
 
     cfg = StepConfig(num_classes=14, deep_up=True, augmask=2, weight_gan=1e-3,
                      compute_dtype=jnp.bfloat16, remat=remat,
-                     pallas_k2=pallas_k2, pallas_gn=pallas_gn)
+                     pallas_k2=pallas_k2, pallas_gn=pallas_gn,
+                     pallas_infer=pallas_infer)
     state = create_train_state(jax.random.PRNGKey(0), cfg)
     model = UNet3DFEAM(num_classes=14, weight_std=True, deep_up=True,
                        remat=remat)
@@ -97,12 +98,15 @@ def main():
 
     enable_compile_cache()
 
-    flags = {"xla": (False, False), "k2": (True, False),
-             "gn": (False, True), "k2gn": (True, True)}
+    flags = {"xla": (False, False, False), "k2": (True, False, False),
+             "gn": (False, True, False), "k2gn": (True, True, False),
+             # inference-only fused kernels on the step's gradient-free
+             # refiner complement pass only (StepConfig.pallas_infer)
+             "infer": (False, False, True)}
     for name in args.configs.split(","):
-        k2, gn = flags[name]
+        k2, gn, infer = flags[name]
         run_config(name, k2, gn, patch, args.steps, batch=args.batch,
-                   remat=args.remat)
+                   remat=args.remat, pallas_infer=infer)
 
 
 if __name__ == "__main__":

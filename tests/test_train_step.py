@@ -184,6 +184,28 @@ def test_step_seg_loss_composition(setup):
     np.testing.assert_allclose(float(metrics["seg_loss"]), expected, rtol=2e-5)
 
 
+def test_step_pallas_infer_parity(setup):
+    """StepConfig.pallas_infer routes the no-grad refiner complement pass
+    through the inference-only fused Pallas kernels (interpret mode on CPU).
+    The step's losses, updated params, and pseudo-label metrics must match
+    the default path: the subgraph is gradient-free by construction, so the
+    routing may change the engine but never the math (round-4 B=1 lever)."""
+    cfg, state, step, batch = setup
+    model, refiner, disc = build_models(cfg)
+    step_i = make_train_step(model, refiner, disc,
+                             cfg.replace(pallas_infer=True))
+
+    s_a, m_a = step(_clone(state), batch, jnp.float32(5e-4), jnp.float32(0.05))
+    s_b, m_b = step_i(_clone(state), batch, jnp.float32(5e-4), jnp.float32(0.05))
+
+    for k in ("loss", "seg_loss", "refine_loss", "refiner_dice_mean"):
+        np.testing.assert_allclose(float(m_a[k]), float(m_b[k]), rtol=1e-4,
+                                   err_msg=f"metric {k} diverged")
+    pa = np.asarray(s_a.params["params"]["encoder"]["conv1"]["kernel"])
+    pb = np.asarray(s_b.params["params"]["encoder"]["conv1"]["kernel"])
+    np.testing.assert_allclose(pa, pb, atol=1e-6)
+
+
 def test_check_refine_grad_capacity():
     """refine_grad_organs must cover the max per-case supervised
     labeled-modality organ count or the refiner gradient pass silently drops
