@@ -104,6 +104,10 @@ def get_arguments() -> argparse.ArgumentParser:
                    help="memoize prepared volumes (NIfTI read + atlas resize + "
                         "pad/truncate) in host RAM — ~0.5 GB/case at the AMOS "
                         "256x256x128 grid; random crops/augs still re-sample")
+    p.add_argument("--log_every", type=int, default=10,
+                   help="per-step JSONL metric cadence (1 = every step; each "
+                        "log forces a device->host sync, so >1 preserves "
+                        "async dispatch on short epochs)")
     p.add_argument("--device_data", choices=("auto", "true", "false"),
                    default="auto",
                    help="hold the prepared training set in DEVICE memory and "
@@ -215,7 +219,7 @@ def main(argv=None):
                 raise
             print(f"device data pipeline unavailable ({e}); using host path")
     train_loop(state, step_fn, model, train_ds, valid_ds, scfg, lcfg, n_dev=n_dev,
-               device_pipe=device_pipe)
+               device_pipe=device_pipe, log_every=args.log_every)
 
 
 if __name__ == "__main__":
