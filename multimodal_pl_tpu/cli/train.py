@@ -104,6 +104,11 @@ def get_arguments() -> argparse.ArgumentParser:
                    help="memoize prepared volumes (NIfTI read + atlas resize + "
                         "pad/truncate) in host RAM — ~0.5 GB/case at the AMOS "
                         "256x256x128 grid; random crops/augs still re-sample")
+    p.add_argument("--train_refiner", type=str2bool, default=True,
+                   help="include the refiner in the SGD update (the paper's "
+                        "intent; the reference snapshot's optimizer covers "
+                        "model.parameters() only, train:132 — false "
+                        "reproduces that literal behavior)")
     p.add_argument("--log_every", type=int, default=10,
                    help="per-step JSONL metric cadence (1 = every step; each "
                         "log forces a device->host sync, so >1 preserves "
@@ -152,6 +157,7 @@ def main(argv=None):
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         pallas_gn=args.pallas_gn,
         pallas_k2=args.pallas_k2,
+        train_refiner=args.train_refiner,
         weight_std=args.weight_std,
         base=args.model_base,
         layers=tuple(int(x) for x in args.model_layers.split(",")),

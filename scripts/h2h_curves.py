@@ -66,20 +66,20 @@ def main():
         print(f"| {e} | {ts:.4f} | {os_:.4f} | {os_ - ts:+.4f} | "
               f"{mean(tref[e]):.4f} | {mean(oref[e]):.4f} |")
 
-    # summary over ALL common epochs
-    ds = [mean(oseg[e]) - mean(tseg[e]) for e in epochs]
-    n = len(epochs)
-    if n > 1:
-        import statistics
+    # summaries: pretrain epochs (< 20) share the exact loss math on both
+    # sides; epochs >= 20 add the consistency term, whose magnitude depends
+    # on each side's own random refiner init (pseudo-label noise), so the
+    # phases are reported separately.
+    import statistics
 
-        tm = [mean(tseg[e]) for e in epochs]
-        om = [mean(oseg[e]) for e in epochs]
-        try:
-            corr = statistics.correlation(tm, om)
-        except Exception:
-            corr = float("nan")
-        print(f"\n{n} common epochs: seg-loss delta mean {statistics.mean(ds):+.4f} "
-              f"(max |{max(abs(d) for d in ds):.4f}|), curve correlation {corr:.3f}")
+    for label, es in (("pretrain (<20)", [e for e in epochs if e < 20]),
+                      ("ramp (>=20)", [e for e in epochs if e >= 20]),
+                      ("all", epochs)):
+        if len(es) < 2:
+            continue
+        ds = [mean(oseg[e]) - mean(tseg[e]) for e in es]
+        print(f"{label}: {len(es)} epochs, seg delta mean "
+              f"{statistics.mean(ds):+.4f} (max |{max(abs(d) for d in ds):.4f}|)")
 
 
 if __name__ == "__main__":
