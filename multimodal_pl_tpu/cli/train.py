@@ -112,7 +112,8 @@ def get_arguments() -> argparse.ArgumentParser:
     p.add_argument("--log_every", type=int, default=10,
                    help="per-step JSONL metric cadence (1 = every step; each "
                         "log forces a device->host sync, so >1 preserves "
-                        "async dispatch on short epochs)")
+                        "async dispatch on short epochs; <=0 disables "
+                        "per-step logs, keeping epoch summaries)")
     p.add_argument("--device_data", choices=("auto", "true", "false"),
                    default="auto",
                    help="hold the prepared training set in DEVICE memory and "

@@ -256,6 +256,12 @@ def pallas_inference_scope(k2: bool = True, fused_gn: bool = True):
     .py:289-290 — its output feeds the loss only through stop_gradient) never
     runs a VJP, so it can take the same fused GN->ReLU->k2 kernels the
     evaluator uses even while the surrounding step is differentiated.
+
+    Assumes a SINGLE-THREADED trace: the scope flips module-level globals for
+    its dynamic extent, so any concurrent trace (async predictor compile) or a
+    remat/nn.checkpoint wrapper that re-traces the refiner OUTSIDE this scope
+    would pick up the wrong kernel routing. If the refiner ever gains remat
+    support, thread these flags through config instead of globals.
     """
     global _K2_PALLAS, _K2_FUSED_GN
     prev = (_K2_PALLAS, _K2_FUSED_GN)

@@ -200,7 +200,7 @@ def train_loop(state: TrainState, step_fn, model, train_ds: AMOSDataset,
         for it, b in enumerate(batch_stream(epoch_src)):
             state, metrics = step_fn(state, b, lr, wf)
             loss_handles.append(metrics["loss"])
-            if it % log_every == 0:
+            if log_every >= 1 and it % log_every == 0:  # <=0: epoch summaries only
                 logger.log(int(state.step), {k: float(v) for k, v in metrics.items()})
         epoch_losses = [float(h) for h in loss_handles]  # trailing sync
         dt = time.time() - t0

@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import json
 import re
+import sys
 from collections import defaultdict
 
 
@@ -56,6 +57,9 @@ def main():
     tseg, tref = parse_torch(args.torch_log)
     oseg, oref = parse_ours(args.ours_jsonl, args.steps_per_epoch)
     epochs = sorted(set(tseg) & set(oseg))
+    if not epochs:
+        sys.exit("no common epochs parsed — check --torch_log/--ours_jsonl/"
+                 "--steps_per_epoch")
     mean = lambda v: sum(v) / max(len(v), 1)
 
     print("| epoch | torch seg | mpl seg | delta | torch refine | mpl refine |")
