@@ -388,3 +388,248 @@ class ResStage(nn.Module):
                 self.features, stride=1, group=self.group, weight_std=self.weight_std, name=f"block{i}"
             )(x)
         return x
+
+
+# --------------------------------------------------------------------------- #
+# mixed-axis block-domain twins (ops/bd.py — the round-5 conv engine)
+# --------------------------------------------------------------------------- #
+
+from multimodal_pl_tpu.ops import bd as _bd  # noqa: E402
+
+
+class WSConv3dBD(nn.Module):
+    """WSConv3d computed on a mixed-axis blocked tensor (ops/bd.py).
+
+    Parameters are IDENTICAL to :class:`WSConv3d` (same names, voxel-domain
+    shapes) — checkpoint format unchanged. `blocked` names the input layout,
+    `packing` the input packing on its blocked axes; a stride-1 k3 conv flips
+    the packing, a stride-2 conv exits to the half-resolution voxel grid, a
+    1x1 conv preserves it. Only the reference's conv configs are supported:
+    k3/pad1 and k1/pad0."""
+
+    features: int
+    kernel: Sequence[int] = (3, 3, 3)
+    stride: int = 1
+    use_bias: bool = False
+    weight_std: bool = True
+    blocked: Sequence[bool] = (False, True, True)
+    packing: str = "a"
+
+    @nn.compact
+    def __call__(self, xb, gn_fold=None, canvas=None):
+        import numpy as _np
+
+        kd, kh, kw = self.kernel
+        f = int(_np.prod(_bd.factors(self.blocked)))
+        ci = xb.shape[-1] // f
+        w = self.param("kernel", torch_init, (kd, kh, kw, ci, self.features),
+                       jnp.float32)
+        w = w.astype(xb.dtype)
+        if self.weight_std:
+            w = standardize_kernel(w)
+        bias = None
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(),
+                              (self.features,), jnp.float32).astype(xb.dtype)
+        if (kd, kh, kw) == (1, 1, 1):
+            return _bd.bd_conv1x1(xb, w, self.blocked, packing=self.packing,
+                                  stride=self.stride, bias=bias)
+        assert (kd, kh, kw) == (3, 3, 3), "bd path supports k3/pad1 and k1/pad0"
+        if gn_fold is not None:
+            # fused masked-GN->ReLU->conv on a bdx CANVAS input (inference
+            # path); canvas = (true_dims, wb). Identical math + param tree.
+            assert self.stride == 1 and bias is None
+            true_dims, wb = canvas
+            out = _bd.bd_gn_relu_conv3x3(xb, gn_fold[0], gn_fold[1], w,
+                                         self.blocked, self.packing,
+                                         true_dims=true_dims, wb=wb)
+            assert out is not None, "bdx contract violated (check eligibility)"
+            return out
+        return _bd.bd_conv3x3(xb, w, self.blocked, packing=self.packing,
+                              stride=self.stride, bias=bias)
+
+
+class GroupNormBD(nn.Module):
+    """GroupNorm on a mixed-axis blocked tensor — identical params/stats to
+    :class:`GroupNorm`. With packing='s', the blocked axes' boundary slabs
+    are excluded from the statistics and zeroed on output."""
+
+    num_groups: int
+    eps: float = 1e-5
+    blocked: Sequence[bool] = (False, True, True)
+    packing: str = "a"
+    relu: bool = False
+
+    @nn.compact
+    def __call__(self, xb, fold: bool = False, canvas=None):
+        import numpy as _np
+
+        f = int(_np.prod(_bd.factors(self.blocked)))
+        c = xb.shape[-1] // f
+        scale = self.param("scale", nn.initializers.ones_init(), (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,), jnp.float32)
+        if fold:
+            # return the (arow, brow) statistics fold for the fused
+            # GN->ReLU->conv path; canvas=(true_dims, wb) when xb is a bdx
+            # canvas tensor
+            if canvas is not None:
+                true_dims, wb = canvas
+                return _bd.bd_gn_fold_canvas(xb, scale, bias, self.num_groups,
+                                             true_dims, wb, self.eps,
+                                             blocked=self.blocked,
+                                             packing=self.packing)
+            return _bd.bd_gn_fold(xb, scale, bias, self.num_groups, self.eps,
+                                  blocked=self.blocked, packing=self.packing)
+        return _bd.bd_group_norm(xb, scale, bias, self.num_groups, self.eps,
+                                 blocked=self.blocked, packing=self.packing,
+                                 relu=self.relu)
+
+
+class GNReLUConvBD(nn.Module):
+    """Blocked GN -> ReLU -> 1x1 conv head (param-compatible with
+    :class:`GNReLUConv` restricted to k=1). stride 2 exits to the voxel
+    grid."""
+
+    features: int
+    num_groups: int = 16
+    stride: int = 1
+    weight_std: bool = False
+    use_bias: bool = True
+    blocked: Sequence[bool] = (False, True, True)
+    packing: str = "a"
+
+    @nn.compact
+    def __call__(self, xb):
+        xb = GroupNormBD(self.num_groups, blocked=self.blocked,
+                         packing=self.packing, relu=True, name="gn")(xb)
+        return WSConv3dBD(
+            self.features, kernel=(1, 1, 1), stride=self.stride,
+            use_bias=self.use_bias, weight_std=self.weight_std,
+            blocked=self.blocked, packing=self.packing, name="conv")(xb)
+
+
+class NoBottleneckBD(nn.Module):
+    """:class:`NoBottleneck` on mixed-axis blocked tensors.
+
+    stride=1: in/out both SHIFTED in `blocked` layout (gn1 masked -> conv
+    s->a -> gn2 aligned -> conv a->s -> + residual, zero repacks).
+    stride=2: conv1 and the projection exit to the half-resolution voxel
+    grid; the second conv runs in `out_blocked` (the target stage's layout,
+    aligned->shifted), and the block's output is SHIFTED in `out_blocked`
+    (voxel passthrough when out_blocked has no blocked axis)."""
+
+    features: int
+    stride: int = 1
+    group: int = 16
+    weight_std: bool = True
+    blocked: Sequence[bool] = (False, True, True)
+
+    @nn.compact
+    def __call__(self, xb):
+        import numpy as _np
+
+        f = int(_np.prod(_bd.factors(self.blocked)))
+        inplanes = xb.shape[-1] // f
+        needs_proj = self.stride != 1 or inplanes != self.features
+
+        fused = (_bd.bd_fused_enabled() and self.stride == 1
+                 and (inplanes * f) % 128 == 0 and (self.features * f) % 128 == 0
+                 and int(xb.shape[1]) >= 3)
+        if fused:
+            # GN+ReLU+pads ride the conv kernels' band path (ops/pallas/bdx);
+            # the two convs chain through a canvas with zero repacks.
+            # Identical math + param tree; inference-only gate.
+            dims_s = tuple(int(v) for v in xb.shape[1:4])
+            wb = _bd.chain_wb(dims_s[2])
+            fold1 = GroupNormBD(self.group, blocked=self.blocked, packing="s",
+                                name="gn1")(xb, fold=True)
+            c0 = _bd.to_canvas(xb, wb)
+            c1 = WSConv3dBD(self.features, stride=1,
+                            weight_std=self.weight_std, blocked=self.blocked,
+                            packing="s", name="conv1")(
+                c0, gn_fold=fold1, canvas=(dims_s, wb))
+            dims_a = (dims_s[0],
+                      dims_s[1] - 1 if self.blocked[1] else dims_s[1],
+                      dims_s[2] - 1 if self.blocked[2] else dims_s[2])
+            fold2 = GroupNormBD(self.group, blocked=self.blocked, packing="a",
+                                name="gn2")(c1, fold=True, canvas=(dims_a, wb))
+            c2 = WSConv3dBD(self.features, stride=1,
+                            weight_std=self.weight_std, blocked=self.blocked,
+                            packing="a", name="conv2")(
+                c1, gn_fold=fold2, canvas=(dims_a, wb))
+            out = _bd.from_canvas(c2, dims_s[1], dims_s[2], wb)
+            residual = xb
+            if needs_proj:
+                residual = GNReLUConvBD(
+                    self.features, num_groups=self.group, stride=1,
+                    weight_std=self.weight_std, use_bias=False,
+                    blocked=self.blocked, packing="s", name="downsample")(xb)
+            return out + residual
+
+        out = GroupNormBD(self.group, blocked=self.blocked, packing="s",
+                          relu=True, name="gn1")(xb)
+        out = WSConv3dBD(self.features, stride=self.stride,
+                         weight_std=self.weight_std, blocked=self.blocked,
+                         packing="s", name="conv1")(out)
+        if self.stride == 1:
+            out = GroupNormBD(self.group, blocked=self.blocked, packing="a",
+                              relu=True, name="gn2")(out)
+            out = WSConv3dBD(self.features, stride=1,
+                             weight_std=self.weight_std, blocked=self.blocked,
+                             packing="a", name="conv2")(out)
+        else:
+            out_blocked = _bd.blocked_for(self.features)
+            if any(out_blocked):
+                out = _bd.pack(out, out_blocked)
+                out = GroupNormBD(self.group, blocked=out_blocked,
+                                  packing="a", relu=True, name="gn2")(out)
+                out = WSConv3dBD(self.features, stride=1,
+                                 weight_std=self.weight_std,
+                                 blocked=out_blocked, packing="a",
+                                 name="conv2")(out)
+            else:
+                out = GroupNorm(self.group, relu=True, name="gn2")(out)
+                out = WSConv3d(self.features, stride=1, padding=1,
+                               weight_std=self.weight_std, name="conv2")(out)
+
+        residual = xb
+        if needs_proj:
+            residual = GNReLUConvBD(
+                self.features, num_groups=self.group, stride=self.stride,
+                weight_std=self.weight_std, use_bias=False,
+                blocked=self.blocked, packing="s", name="downsample")(xb)
+            if self.stride != 1:
+                out_blocked = _bd.blocked_for(self.features)
+                if any(out_blocked):
+                    residual = _bd.pack_shifted(residual, out_blocked)
+        return out + residual
+
+
+class ResStageBD(nn.Module):
+    """:class:`ResStage` on mixed-axis blocked tensors. With stride=2 the
+    first block transitions to the features' own layout; the remaining
+    blocks run there."""
+
+    features: int
+    blocks: int
+    stride: int = 1
+    group: int = 16
+    weight_std: bool = True
+    blocked: Sequence[bool] = (False, True, True)
+
+    @nn.compact
+    def __call__(self, xb):
+        x = NoBottleneckBD(self.features, stride=self.stride, group=self.group,
+                           weight_std=self.weight_std, blocked=self.blocked,
+                           name="block0")(xb)
+        nxt = _bd.blocked_for(self.features) if self.stride != 1 else self.blocked
+        for i in range(1, self.blocks):
+            if any(nxt):
+                x = NoBottleneckBD(self.features, stride=1, group=self.group,
+                                   weight_std=self.weight_std, blocked=nxt,
+                                   name=f"block{i}")(x)
+            else:
+                x = NoBottleneck(self.features, stride=1, group=self.group,
+                                 weight_std=self.weight_std,
+                                 name=f"block{i}")(x)
+        return x

@@ -62,6 +62,7 @@ class Encoder(nn.Module):
     weight_std: bool = True
     remat: bool = False
     s2d: bool = False
+    bd: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -69,9 +70,45 @@ class Encoder(nn.Module):
         in the space-to-depth block domain (ops/s2d.py) and skip0 is returned
         as a block tensor (B, D/2, H/2, W/2, 8*base) — on TPU this fills the
         128-lane minor dim that C=32 would pad 4x. Identical params and math
-        either way (tests/test_s2d.py)."""
+        either way (tests/test_s2d.py).
+
+        With bd=True (round-5 conv engine, overrides s2d), every stage runs
+        on its minimal-inflation mixed-axis layout (ops/bd.py): C=32 stages
+        H,W-blocked, C=64 stages W-blocked, C>=128 voxel; skip0 is an
+        H,W-blocked SHIFTED tensor (B, D, H/2+1, W/2+1, 4*base) and skip1 a
+        W-blocked SHIFTED tensor. Identical params and math
+        (tests/test_bd.py)."""
         b = self.base
         stage = nn.remat(ResStage) if self.remat else ResStage
+        if self.bd:
+            from multimodal_pl_tpu.models.blocks import ResStageBD, WSConv3dBD
+            from multimodal_pl_tpu.ops import bd as _bd
+
+            hw2 = (False, True, True)
+            stage_bd = nn.remat(ResStageBD) if self.remat else ResStageBD
+            xb = _bd.pack(x, hw2)  # aligned
+            xb = WSConv3dBD(b, stride=1, weight_std=self.weight_std,
+                            blocked=hw2, packing="a", name="conv1")(xb)
+            xb = stage_bd(b, self.layers[0], stride=1,
+                          weight_std=self.weight_std, blocked=hw2,
+                          name="layer0")(xb)
+            skip0 = xb  # shifted hw2
+            x = stage_bd(b * 2, self.layers[1], stride=2,
+                         weight_std=self.weight_std, blocked=hw2,
+                         name="layer1")(xb)
+            skip1 = x  # shifted w1
+            x = stage_bd(b * 4, self.layers[2], stride=2,
+                         weight_std=self.weight_std,
+                         blocked=_bd.blocked_for(b * 2), name="layer2")(x)
+            skip2 = x  # voxel (C=128)
+            x = stage(b * 8, self.layers[3], stride=2,
+                      weight_std=self.weight_std, name="layer3")(x)
+            skip3 = x
+            x = stage(b * 8, self.layers[4], stride=2,
+                      weight_std=self.weight_std, name="layer4")(x)
+            x = GNReLUConv(b * 8, num_groups=16, weight_std=self.weight_std,
+                           use_bias=False, name="fusion")(x)
+            return (skip0, skip1, skip2, skip3), x
         if self.s2d:
             stage_s2d = nn.remat(ResStageS2D) if self.remat else ResStageS2D
             xb = space_to_depth(x)  # aligned packing
@@ -114,6 +151,7 @@ class UNet3DFEAM(nn.Module):
     token_alpha: float = 0.01
     remat: bool = False
     s2d: bool = True
+    bd: bool = False  # round-5 mixed-axis engine (ops/bd.py); overrides s2d
 
     @nn.compact
     def __call__(self, x, tokens: Dict[str, jax.Array], mask: jax.Array | None = None):
@@ -128,9 +166,12 @@ class UNet3DFEAM(nn.Module):
         parameter tree and the math are identical (tests/test_s2d.py). Odd
         shapes fall back to the voxel path automatically.
         """
-        use_s2d = self.s2d and all(int(s) % 2 == 0 for s in x.shape[1:4])
+        use_bd = (self.bd and int(x.shape[2]) % 4 == 0
+                  and int(x.shape[3]) % 8 == 0)
+        use_s2d = (not use_bd and self.s2d
+                   and all(int(s) % 2 == 0 for s in x.shape[1:4]))
         skips, x = Encoder(self.layers, self.base, self.weight_std, self.remat,
-                           s2d=use_s2d, name="encoder")(x)
+                           s2d=use_s2d, bd=use_bd, name="encoder")(x)
         skip0, skip1, skip2, skip3 = skips
         nc = self.num_classes
         b = self.base
@@ -170,6 +211,13 @@ class UNet3DFEAM(nn.Module):
                 )
             attn_maps.append(amap)
 
+        if use_bd:
+            from multimodal_pl_tpu.models.blocks import GNReLUConvBD, ResStageBD
+            from multimodal_pl_tpu.ops import bd as _bd
+
+            hw2, w1 = (False, True, True), (False, False, True)
+            stage_bd = nn.remat(ResStageBD) if self.remat else ResStageBD
+
         # x8 scale (features b*4 = 128)
         x = decode(x, skip3, b * 4, 1, "x8_resb")
         deep_maps.append(GNReLUConv(nc, num_groups=16, name="deepout1")(x))
@@ -178,16 +226,31 @@ class UNet3DFEAM(nn.Module):
         if self.use_cm[0]:
             run_eam(x, "t1", b * 4, "eam84", 8)
 
-        # x4 scale (features b*2 = 64)
-        x = decode(x, skip2, b * 2, 1, "x4_resb")
+        # x4 scale (features b*2 = 64; bd: W-blocked stage, voxel view for
+        # the deep-sup/EAM consumers)
+        if use_bd:
+            xi = upsample_trilinear(x, 2) + skip2
+            xb4 = _bd.pack_shifted(xi, w1)
+            xb4 = stage_bd(b * 2, 1, stride=1, weight_std=self.weight_std,
+                           blocked=w1, name="x4_resb")(xb4)
+            x = _bd.unpack_shifted(xb4, w1)
+        else:
+            x = decode(x, skip2, b * 2, 1, "x4_resb")
         deep_maps.append(GNReLUConv(nc, num_groups=16, name="deepout2")(x))
         features.append(jax.lax.stop_gradient(x))
         maybe_pre_update(x, "t2")
         if self.use_cm[1]:
             run_eam(x, "t2", b * 2, "eam42", 4)
 
-        # x2 scale (features b = 32)
-        x = decode(x, skip1, b, 1, "x2_resb")
+        # x2 scale (features b = 32; bd: H,W-blocked stage)
+        if use_bd:
+            xi = upsample_trilinear(x, 2) + _bd.unpack_shifted(skip1, w1)
+            xb2 = _bd.pack_shifted(xi, hw2)
+            xb2 = stage_bd(b, 1, stride=1, weight_std=self.weight_std,
+                           blocked=hw2, name="x2_resb")(xb2)
+            x = _bd.unpack_shifted(xb2, hw2)
+        else:
+            x = decode(x, skip1, b, 1, "x2_resb")
         deep_maps.append(GNReLUConv(nc, num_groups=16, name="deepout3")(x))
         features.append(jax.lax.stop_gradient(x))
         maybe_pre_update(x, "t3")
@@ -195,7 +258,14 @@ class UNet3DFEAM(nn.Module):
             run_eam(x, "t3", b, "eam21", 2)
 
         # x1 scale
-        if use_s2d:
+        if use_bd:
+            xb = _bd.bd_upsample_trilinear(x, hw2, packing="s") + skip0
+            xb = stage_bd(b, 1, stride=1, weight_std=self.weight_std,
+                          blocked=hw2, name="x1_resb")(xb)
+            logits = _bd.unpack_shifted(
+                GNReLUConvBD(nc, num_groups=16, blocked=hw2, packing="s",
+                             name="precls")(xb), hw2)
+        elif use_s2d:
             xb = s2d_upsample_trilinear(x, packing="s") + skip0
             stage_s2d = nn.remat(ResStageS2D) if self.remat else ResStageS2D
             xb = stage_s2d(b, 1, stride=1, weight_std=self.weight_std, name="x1_resb")(xb)

@@ -54,9 +54,27 @@ def conv3d(
     bias: jax.Array | None = None,
     precision=None,
 ) -> jax.Array:
-    """Plain 3D conv, NDHWC x DHWIO -> NDHWC."""
+    """Plain 3D conv, NDHWC x DHWIO -> NDHWC.
+
+    Voxel k3/stride-1 convs whose channel counts are 128-multiples (the
+    C>=128 stages) route through the tap-exact Pallas band kernel when the
+    bd engine is enabled (ops/bd.set_bd_pallas) — measured ~142 vs ~42
+    TF/s for the C=128 quarter-resolution stage (PERF.md round 5)."""
     if isinstance(padding, int):
         padding = [(padding, padding)] * 3
+    if (w.shape[:3] == (3, 3, 3) and _norm_stride(stride) == (1, 1, 1)
+            and not isinstance(padding, str)
+            and w.shape[3] % 128 == 0 and w.shape[4] % 128 == 0
+            and precision is None and x.shape[2] >= 10 and x.shape[3] >= 10):
+        from multimodal_pl_tpu.ops.bd import bd_pallas_enabled
+
+        if bd_pallas_enabled():
+            from multimodal_pl_tpu.ops.pallas.bk3_conv import bk3_impl
+
+            out = bk3_impl(x, w, padding)
+            if bias is not None:
+                out = out + bias
+            return out
     out = lax.conv_general_dilated(
         x,
         w,

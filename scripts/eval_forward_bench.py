@@ -108,6 +108,26 @@ def fwd_ab(iters: int):
             s2d.set_k2_pallas(False)
             s2d.set_k2_fused_gn(False)
 
+    # round-5 mixed-axis engine (ops/bd.py)
+    from multimodal_pl_tpu.ops import bd
+
+    model_bd = UNet3DFEAM(num_classes=NC, weight_std=True, deep_up=True, bd=True)
+
+    def step_bd(c):
+        logits = model_bd.apply(params, c, tokens)[0]
+        return jnp.tanh(jnp.mean(logits, -1, keepdims=True)).astype(c.dtype)
+
+    for label, pal, fus in (("bd-xla", False, False), ("bd-pallas", True, False),
+                            ("bd-pallas+fused", True, True)):
+        bd.set_bd_pallas(pal)
+        bd.set_bd_fused(fus)
+        try:
+            dt = time_loop(step_bd, x0, iters)
+            print(f"flagship eval fwd (B=2 64x192x192 bf16) [{label}]: {dt*1e3:7.1f} ms")
+        finally:
+            bd.set_bd_pallas(False)
+            bd.set_bd_fused(False)
+
 
 def main():
     ap = argparse.ArgumentParser()
