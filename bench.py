@@ -66,16 +66,30 @@ def main():
     REPS = 5        # volumes per streaming epoch
     N_EPOCHS = 5    # timed epochs; headline = median
 
-    from multimodal_pl_tpu.ops.s2d import set_k2_fused_gn, set_k2_pallas
+    import os
 
-    # Pallas fused-gather k2 conv: -27% on the flagship eval forward
-    # (159 -> 117 ms at batch 2, PERF.md round-2 log) — the shipping
-    # inference configuration (mpl-evaluate --pallas_k2), plus the round-4
-    # fused GN->ReLU input path (mpl-evaluate --fused_gn).
-    set_k2_pallas(jax.default_backend() == "tpu")
-    set_k2_fused_gn(jax.default_backend() == "tpu")
+    on_tpu = jax.default_backend() == "tpu"
+    # Engine selection (round 5): 'bd' = mixed-axis block domain with the
+    # fused masked-GN conv kernels (ops/bd.py + ops/pallas/bdx.py — the
+    # minimal-FLOP-inflation layouts); 's2d' = the round-1..4 3-axis
+    # space-to-depth engine with pallas_k2 + fused_gn.
+    engine = os.environ.get("MPL_BENCH_ENGINE", "bd")
+    if engine == "bd":
+        from multimodal_pl_tpu.ops.bd import set_bd_fused, set_bd_pallas
 
-    model = UNet3DFEAM(num_classes=NC, weight_std=True, deep_up=True)
+        set_bd_pallas(on_tpu)
+        set_bd_fused(on_tpu)
+        model = UNet3DFEAM(num_classes=NC, weight_std=True, deep_up=True,
+                           bd=on_tpu)
+    else:
+        from multimodal_pl_tpu.ops.s2d import set_k2_fused_gn, set_k2_pallas
+
+        # Pallas fused-gather k2 conv: -27% on the flagship eval forward
+        # (159 -> 117 ms at batch 2, PERF.md round-2 log) plus the round-4
+        # fused GN->ReLU input path (mpl-evaluate --fused_gn).
+        set_k2_pallas(on_tpu)
+        set_k2_fused_gn(on_tpu)
+        model = UNet3DFEAM(num_classes=NC, weight_std=True, deep_up=True)
     tokens = init_class_tokens(jax.random.PRNGKey(1), NC)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 16, 32, 32, 1)), tokens)
     fwd = lambda tiles: model.apply(params, tiles, tokens)[0]
@@ -90,8 +104,13 @@ def main():
     # Volumes ship bf16 (bit-identical to f32-then-cast), pad on device, and
     # predict_iter overlaps the next volume's transfer with compute — the
     # steady-state streaming throughput of a real evaluation pass. ----
+    # output='argmax': the production inference artifact is the uint8 label
+    # map; argmax is count-normalization-invariant, so the count
+    # accumulator, normalize pass, and f32 logits output drop out of the
+    # program (the round-5 fused epilogue; parity pinned in test_sliding).
     predictor = SlidingWindowPredictor(fwd, TILE, NC, window_batch=4,
-                                       compute_dtype=jnp.bfloat16)
+                                       compute_dtype=jnp.bfloat16,
+                                       output="argmax")
     _sync(predictor(vol))  # compile (scan + pad programs)
     for out in predictor.predict_iter(vols):  # warmup epoch: prefetch steady state
         _sync(out)
@@ -129,6 +148,14 @@ def main():
     naive_dt = statistics.median(naive_dts)
     naive_vps = 1.0 / naive_dt
 
+    # MFU on LOGICAL voxel FLOPs (the reference model's math — conv +
+    # attention matmuls, utils/flops.py; blocked forms' inflated machine
+    # MACs deliberately NOT counted) against the v5e dense-bf16 peak.
+    from multimodal_pl_tpu.utils.flops import V5E_BF16_PEAK, flagship_forward_flops
+
+    flops_per_vol = n_windows * flagship_forward_flops(TILE, batch=1)
+    mfu = flops_per_vol * fast_vps / V5E_BF16_PEAK
+
     result = {
         "metric": "sliding-window inference volumes/sec/chip "
                   f"({VOL[0]}x{VOL[1]}x{VOL[2]} vol, {TILE[0]}x{TILE[1]}x{TILE[2]} tile, "
@@ -136,6 +163,13 @@ def main():
         "value": round(fast_vps, 4),
         "unit": "volumes/sec/chip",
         "vs_baseline": round(fast_vps / naive_vps, 3),
+        "engine": engine,
+        "mfu": round(mfu, 4),
+        "mfu_basis": "logical voxel FLOPs of the reference model "
+                     f"({flops_per_vol / 1e12:.2f} TFLOP/vol = {n_windows} "
+                     "windows x utils/flops.flagship_forward_flops; blocked "
+                     "layouts issue more machine MACs, not counted) / "
+                     "197 TF/s v5e dense-bf16 peak",
         # Self-description (VERDICT r3 item 10): what vs_baseline compares
         # against, plus the baseline's own measured spread so the headline
         # reports its noise. The reference log records no GPU throughput
@@ -154,7 +188,9 @@ def main():
           f"reference loop has no such overlap) | "
           f"reference-style loop on same chip: {naive_dt:.3f}s/vol "
           f"(median of {', '.join(f'{d:.1f}' for d in naive_dts)}) | "
-          f"speedup {fast_vps / naive_vps:.2f}x", file=sys.stderr)
+          f"speedup {fast_vps / naive_vps:.2f}x | "
+          f"engine {engine} | {flops_per_vol * fast_vps / 1e12:.1f} TF/s "
+          f"logical = {mfu * 100:.1f}% MFU", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -83,14 +83,27 @@ def supervision_mask_from_label(label_volume: np.ndarray) -> np.ndarray:
     return mask
 
 
-def generate_supervision_csv(case_ids, out_path: str) -> None:
-    """supervise_mask.csv writer (atlas_gen_mm.py:59-71, fixed key format)."""
+def generate_supervision_csv(case_ids, out_path: str,
+                             organ_overrides: Dict[int, int] | None = None) -> None:
+    """supervise_mask.csv writer (atlas_gen_mm.py:59-71, fixed key format).
+
+    organ_overrides: optional {case_id: organ_label} replacing the id-range
+    assignment for those CT cases — used by fixture generators to guarantee
+    every organ supervises >=1 TRAIN case (the real AMOS csv property the
+    id-range table cannot express for labels 1-2; PERF.md round-4 root
+    cause). MRI cases (id >= 500) stay all-zero regardless."""
+    overrides = organ_overrides or {}
     with open(out_path, "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["name", "mask"])
         for cid in case_ids:
-            mask = supervision_mask_for_case(cid)
-            w.writerow([f"amos_{int(cid):04d}", "".join(str(int(b)) for b in mask)])
+            cid = int(cid)
+            if cid in overrides and cid < 500:
+                mask = np.zeros(NUM_CLASSES, np.float32)
+                mask[int(overrides[cid])] = 1.0
+            else:
+                mask = supervision_mask_for_case(cid)
+            w.writerow([f"amos_{cid:04d}", "".join(str(int(b)) for b in mask)])
 
 
 def load_supervision_csv(path: str) -> Dict[str, np.ndarray]:

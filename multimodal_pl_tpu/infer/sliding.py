@@ -98,7 +98,7 @@ class SlidingWindowPredictor:
                  window_batch: int = 2, tta: bool = False,
                  bucket: Sequence[int] = (32, 64, 64), overlap: float = 0.25,
                  dtype=jnp.float32, compute_dtype=None, transfer_dtype=None,
-                 tile_sharding=None):
+                 tile_sharding=None, output: str = "logits"):
         """dtype: accumulation dtype for the Gaussian blend (keep f32);
         compute_dtype: dtype tiles are cast to before the network (bf16 halves
         HBM pressure on TPU — small-channel stages pad 4x under (8,128) tiling,
@@ -109,7 +109,14 @@ class SlidingWindowPredictor:
         tile_sharding: optional NamedSharding constraining the (wb, *tile, 1)
         window batch — e.g. parallel.spatial.spatial_sharding(mesh) splits
         each window's H axis over a 'space' mesh so GSPMD partitions the
-        network forward across chips (volumetric model parallelism)."""
+        network forward across chips (volumetric model parallelism);
+        output: 'logits' returns count-normalized blended logits (D,H,W,C)
+        f32 (reference semantics, evaluate_amos.py:261-279); 'argmax'
+        returns the uint8 label map (D,H,W) directly — argmax is invariant
+        to the per-voxel count normalization (count is shared across
+        channels), so the count accumulator, the normalize pass, and the
+        full f32 logits output all drop out of the program (the round-5
+        fused inference epilogue)."""
         self.apply_fn = apply_fn
         self.tile = tuple(tile)
         self.num_classes = num_classes
@@ -121,6 +128,8 @@ class SlidingWindowPredictor:
         self.compute_dtype = compute_dtype or dtype
         self.transfer_dtype = transfer_dtype or self.compute_dtype
         self.tile_sharding = tile_sharding
+        assert output in ("logits", "argmax")
+        self.output = output
         self.gaussian = jnp.asarray(gaussian_importance_map(self.tile))[..., None]
         self._jitted = {}
         self._pad_jitted = {}
@@ -150,8 +159,9 @@ class SlidingWindowPredictor:
             # starts: (n_batches, wb, 3); extra: dynamic closure args (e.g.
             # params) forwarded to apply_fn so weight updates don't force
             # recompilation
+            argmax_out = self.output == "argmax"
             full = jnp.zeros((*padded_shape, nc), self.dtype)
-            count = jnp.zeros((*padded_shape, 1), self.dtype)
+            count = None if argmax_out else jnp.zeros((*padded_shape, 1), self.dtype)
             net = (lambda t: self.apply_fn(t, *extra)) if extra else self.apply_fn
 
             def body(carry, batch_starts):
@@ -172,14 +182,20 @@ class SlidingWindowPredictor:
                     idx = (s[0], s[1], s[2], 0)
                     cur = jax.lax.dynamic_slice(full, idx, (*tile, nc))
                     full = jax.lax.dynamic_update_slice(full, cur + logits[i], idx)
-                    curc = jax.lax.dynamic_slice(count, idx, (*tile, 1))
-                    count = jax.lax.dynamic_update_slice(count, curc + gauss, idx)
+                    if count is not None:
+                        curc = jax.lax.dynamic_slice(count, idx, (*tile, 1))
+                        count = jax.lax.dynamic_update_slice(count, curc + gauss, idx)
                     return full, count
 
                 full, count = jax.lax.fori_loop(0, wb, scatter, (full, count))
                 return (full, count), None
 
             (full, count), _ = jax.lax.scan(body, (full, count), starts)
+            if argmax_out:
+                # argmax(full / count) == argmax(full): count > 0 is shared
+                # across channels — the normalize pass and the count
+                # accumulator never need to exist
+                return jnp.argmax(full, axis=-1).astype(jnp.uint8)
             return full / count
 
         return jax.jit(run)

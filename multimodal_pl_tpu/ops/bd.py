@@ -373,8 +373,12 @@ def bd_fused_enabled() -> bool:
 
 def chain_wb(ws_max: int) -> int:
     """Canvas width for a conv chain whose widest stored W extent is ws_max:
-    halo col + extents + slack, 8-aligned (bdx module docstring)."""
-    return -(-(ws_max + 3) // 8) * 8
+    halo col + extents + slack. 16-aligned: every scratch/DMA sublane offset
+    in the bdx kernel is a multiple of wb, and bf16 buffers tile sublanes in
+    16s — a wb ≡ 8 (mod 16) puts DMA destinations on half-tile offsets,
+    which wedges the device (observed INTERNAL crash at wb=24/104; wb=16
+    fine)."""
+    return -(-(ws_max + 3) // 16) * 16
 
 
 def to_canvas(xb: jax.Array, wb: int, th: int = 16) -> jax.Array:

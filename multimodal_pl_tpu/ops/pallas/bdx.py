@@ -105,17 +105,24 @@ def _kernel(x_hbm, w_ref, a_ref, b_ref, out_ref, xs, acc, sems, *,
         c.wait()
 
     # ---- masked normalize + ReLU on the whole band ---------------------- #
-    x = xs[slot].astype(jnp.float32)                     # (scratch_rows, td*K)
-    av = a_ref[0, 0]
-    bv = b_ref[0, 0]
-    rows = lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    lanes = lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    kd_l = lanes // k
-    rem = lanes % k
-    p_h = (rem // (fw * ch)) % fh
+    # 3-D (row-block, col, lane) view of the band: the H/W coordinates come
+    # from plain iotas — row//wb and row%wb on the flat view would be
+    # non-power-of-2 div/mod, which Mosaic miscompiles at runtime (observed:
+    # device-wedging INTERNAL error at wb=104; pow-of-2 wb geometries fine).
+    nrb = scratch_rows // wb
+    x = xs[slot, pl.ds(0, nrb * wb), :].reshape(nrb, wb, td * k)
+    x = x.astype(jnp.float32)
+    av = a_ref[0, 0][None]
+    bv = b_ref[0, 0][None]
+    q = lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    col = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    lanes = lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    kd_l = lanes // k                                    # k: power of 2
+    rem = lanes - kd_l * k
+    p_h = (rem // (fw * ch)) % fh                        # ch: power of 2
     p_w = (rem // ch) % fw
-    h_in = h * th - 1 + rows // wb
-    w_in = rows % wb - 1
+    h_in = h * th - 1 + q
+    w_in = col - 1
     d_in = d + kd_l + o_d
     valid = (d_in >= 0) & (d_in < nd)
     if mh == "s":
@@ -127,7 +134,8 @@ def _kernel(x_hbm, w_ref, a_ref, b_ref, out_ref, xs, acc, sems, *,
     else:
         valid &= (w_in >= 0) & (w_in < nw)
     t = jnp.maximum(x * av + bv, 0.0)
-    xs[slot] = jnp.where(valid, t, 0.0).astype(xs.dtype)
+    xs[slot, pl.ds(0, nrb * wb), :] = jnp.where(valid, t, 0.0).astype(
+        xs.dtype).reshape(nrb * wb, td * k)
 
     # ---- matmuls: one per H tap, K = td*k lanes, N = tkw*n --------------- #
     first = True
@@ -178,7 +186,9 @@ def _bdx_call(x, w_cat, arow, brow, taps, modes, true_dims, factors,
     h_out = out_extent(true_dims[1], modes[1])
     nh_g = -(-h_out // th)
     o_h = 0 if modes[1] == "s" else -1
-    scratch_rows = (tkh + o_h + 1) * wb + th * wb + 8
+    # full multiple of wb: the whole band goes through the masked transform
+    # (and its 3-D row-block view), slack rows included
+    scratch_rows = (tkh + o_h + 2 + th) * wb
     out_tiles = nh_g + 1  # one garbage tail tile: keeps successor bands'
     #                       body DMAs in range without clamping
 

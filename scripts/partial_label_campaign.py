@@ -28,7 +28,8 @@ CAMPAIGN_CT_IDS = [
 ][: 22]
 
 
-def generate(root: str, seed: int = 7, ct_only: bool = False):
+def generate(root: str, seed: int = 7, ct_only: bool = False,
+             full_coverage: bool = False):
     import numpy as np
     from scipy.ndimage import gaussian_filter
 
@@ -62,7 +63,38 @@ def generate(root: str, seed: int = 7, ct_only: bool = False):
     atlas = np.stack([gaussian_filter(labels_sum[i] / len(ids), 3)
                       for i in range(num_fg)])
     np.save(os.path.join(root, "atlas_mm.npy"), atlas.astype(np.float32))
-    generate_supervision_csv(ids, os.path.join(root, "supervise_mask.csv"))
+    overrides = None
+    if full_coverage:
+        # round-5 fixture fix (VERDICT r4 item 5): the id-range table can
+        # never supervise labels 1-2, and the seeded split can strand more
+        # organs with zero TRAIN supervision (round-4 root cause: organ 2
+        # absorbed the softmax background residual). Reproduce the dataset's
+        # exact seeded 70/10/20 split and round-robin organs 1..13 over the
+        # TRAIN CT cases so every organ supervises >=1 train case — the real
+        # AMOS csv property (/root/reference/preprocess/atlas_gen_mm.py:14-57
+        # covers all organs across its id ranges).
+        import glob as _glob
+
+        from multimodal_pl_tpu.data.dataset import split_files
+
+        allfiles = sorted(_glob.glob(os.path.join(img_dir, "*.nii.gz")))
+        train_files = split_files(allfiles, "train", 1)
+        train_ids = sorted(int(os.path.basename(f).split("_")[1])
+                           for f in train_files)
+        train_ct = [cid for cid in train_ids if cid < 500]
+        rest_ct = [cid for cid in ids if cid < 500 and cid not in train_ct]
+        overrides = {}
+        organ = 0
+        for cid in train_ct + rest_ct:
+            overrides[cid] = organ % num_fg + 1
+            organ += 1
+        covered = sorted({overrides[c] for c in train_ct})
+        print(f"full-coverage csv: train CT {len(train_ct)} cases, organs "
+              f"covered in train: {covered}")
+        assert covered == list(range(1, num_fg + 1)), \
+            f"need >= {num_fg} train CT cases, got {len(train_ct)}"
+    generate_supervision_csv(ids, os.path.join(root, "supervise_mask.csv"),
+                             organ_overrides=overrides)
     print(f"{len(ids)} cases -> {root}")
 
 
@@ -74,12 +106,16 @@ def main():
     ap.add_argument("--skip_gen", action="store_true")
     ap.add_argument("--ct_only", action="store_true",
                     help="no MRI cases (BASELINE.json config 3 regime)")
+    ap.add_argument("--full_coverage", action="store_true",
+                    help="supervision csv guarantees every organ 1..13 has "
+                         ">=1 supervising TRAIN case (round-5 13/13 fixture)")
     ap.add_argument("--batch_size", type=int, default=3)
     ap.add_argument("--val_every", type=int, default=50)
     args = ap.parse_args()
 
     if not args.skip_gen:
-        generate(args.root, ct_only=args.ct_only)
+        generate(args.root, ct_only=args.ct_only,
+                 full_coverage=args.full_coverage)
 
     from multimodal_pl_tpu.cli.train import main as train_main
 

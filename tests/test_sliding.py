@@ -151,3 +151,18 @@ class TestMetrics:
         # organs 1, 2 present: near-perfect (denominator +1 smoothing)
         assert float(dice[0]) > 0.99 and float(dice[1]) > 0.98
         np.testing.assert_array_equal(np.asarray(pred), labels)
+
+
+def test_argmax_output_matches_logits_argmax(rng):
+    """output='argmax' (fused epilogue: no count accumulator, no normalize,
+    uint8 label map) == argmax of the logits path."""
+    import jax.numpy as jnp
+
+    vol = rng.standard_normal((10, 9, 9)).astype(np.float32)
+    tile = (4, 4, 4)
+    a = SlidingWindowPredictor(_toy_apply, tile, 3, window_batch=2,
+                               bucket=(4, 4, 4))(vol)
+    b = SlidingWindowPredictor(_toy_apply, tile, 3, window_batch=2,
+                               bucket=(4, 4, 4), output="argmax")(vol)
+    assert np.asarray(b).dtype == np.uint8
+    np.testing.assert_array_equal(np.asarray(jnp.argmax(a, -1)), np.asarray(b))
