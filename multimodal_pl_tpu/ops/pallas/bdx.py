@@ -189,8 +189,12 @@ def _bdx_call(x, w_cat, arow, brow, taps, modes, true_dims, factors,
     # full multiple of wb: the whole band goes through the masked transform
     # (and its 3-D row-block view), slack rows included
     scratch_rows = (tkh + o_h + 2 + th) * wb
-    out_tiles = nh_g + 1  # one garbage tail tile: keeps successor bands'
-    #                       body DMAs in range without clamping
+    # TWO garbage tail tiles: a successor conv's H extent can GROW by one
+    # block ('a' -> 's'), pushing its out_rows one tile past ours, and its
+    # last band's body DMA reads up to (tkh + o_h) <= 3 rows beyond that —
+    # one tile of margin under-provisions exactly there (observed: device-
+    # fault INTERNAL crash on the chain's second conv at layer0 geometry).
+    out_tiles = nh_g + 2
 
     out = pl.pallas_call(
         functools.partial(_kernel, taps=taps, modes=modes,

@@ -75,6 +75,10 @@ class StepConfig:
     # ---- model geometry (defaults == the reference network; the tiny
     # values exist so the driver's multichip dryrun and the cold-host test
     # tier can compile the FULL step structure in minutes on 1 vCPU) ----
+    # run the segmenter on the round-5 mixed-axis block domain (ops/bd.py)
+    # instead of the 3-axis s2d domain — minimal-MAC-inflation layouts,
+    # differentiable through the XLA lowerings (param tree unchanged)
+    bd: bool = flax.struct.field(pytree_node=False, default=False)
     base: int = flax.struct.field(pytree_node=False, default=32)
     layers: tuple = flax.struct.field(pytree_node=False, default=(1, 2, 2, 2, 2))
     refiner_filter: int = flax.struct.field(pytree_node=False, default=24)
@@ -106,7 +110,7 @@ def build_models(cfg: StepConfig):
     test tiers, so geometry knobs can never drift between them."""
     model = UNet3DFEAM(layers=cfg.layers, num_classes=cfg.num_classes,
                        weight_std=cfg.weight_std, deep_up=cfg.deep_up,
-                       base=cfg.base, remat=cfg.remat)
+                       base=cfg.base, remat=cfg.remat, bd=cfg.bd)
     refiner = RefinerUNet3D(num_classes=2, weight_std=cfg.weight_std,
                             init_filter=cfg.refiner_filter, in_channel=2)
     disc = (NormStyleDiscriminator(ndf=cfg.disc_ndf, depth=cfg.disc_depth)

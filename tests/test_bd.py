@@ -8,6 +8,7 @@ upsample unet3D.py:963-965): identical multiply-add sets, different
 grouping.
 """
 
+import jax.flatten_util
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -279,3 +280,28 @@ def test_nobottleneck_bd_fused_parity(rng, blocked, cin, feat):
         bd_mod.set_bd_fused(False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_bd_model_grad(rng):
+    """bd-mode flagship differentiates (training path: XLA lowerings of the
+    blocked convs; grads match the voxel model's on the same params)."""
+    import jax
+
+    from multimodal_pl_tpu.models import UNet3DFEAM, init_class_tokens
+
+    tokens = init_class_tokens(jax.random.PRNGKey(1), 14)
+    x = jnp.asarray(rng.standard_normal((1, 16, 32, 32, 1)), jnp.float32)
+    m_v = UNet3DFEAM(num_classes=14, weight_std=True, s2d=False)
+    m_b = UNet3DFEAM(num_classes=14, weight_std=True, s2d=False, bd=True)
+    params = m_v.init(jax.random.PRNGKey(0), x, tokens)
+
+    def loss(m):
+        return lambda p: jnp.mean(jnp.square(m.apply(p, x, tokens)[0]))
+
+    g_v = jax.grad(loss(m_v))(params)
+    g_b = jax.grad(loss(m_b))(params)
+    lv, _ = jax.flatten_util.ravel_pytree(g_v)
+    lb, _ = jax.flatten_util.ravel_pytree(g_b)
+    scale = float(jnp.max(jnp.abs(lv))) + 1e-9
+    err = float(jnp.max(jnp.abs(lv - lb))) / scale
+    assert err < 3e-2, f"grad normalized maxdiff {err:.2e}"
