@@ -97,6 +97,11 @@ def get_arguments() -> argparse.ArgumentParser:
     p.add_argument("--pallas_gn", type=str2bool, default=False,
                    help="fused Pallas GN->ReLU kernel for the voxel-domain "
                         "pre-activations (ops/pallas/fused_gn_relu.py)")
+    p.add_argument("--bd", type=str2bool, default=False,
+                   help="train the segmenter on the round-5 mixed-axis block "
+                        "domain (ops/bd.py; minimal-MAC-inflation layouts, "
+                        "XLA lowerings — differentiable). Param tree and "
+                        "checkpoints are identical either way")
     p.add_argument("--pallas_k2", type=str2bool, default=False,
                    help="Pallas fused-gather kernel for the s2d block-domain "
                         "stride-1 k2 convs (ops/pallas/k2_conv.py)")
@@ -158,6 +163,7 @@ def main(argv=None):
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         pallas_gn=args.pallas_gn,
         pallas_k2=args.pallas_k2,
+        bd=args.bd,
         train_refiner=args.train_refiner,
         weight_std=args.weight_std,
         base=args.model_base,

@@ -21,7 +21,8 @@ import time
 
 
 def run_config(name: str, pallas_k2: bool, pallas_gn: bool, patch, steps: int,
-               batch: int = 1, remat: bool = False, pallas_infer: bool = False):
+               batch: int = 1, remat: bool = False, pallas_infer: bool = False,
+               bd: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -36,10 +37,10 @@ def run_config(name: str, pallas_k2: bool, pallas_gn: bool, patch, steps: int,
     cfg = StepConfig(num_classes=14, deep_up=True, augmask=2, weight_gan=1e-3,
                      compute_dtype=jnp.bfloat16, remat=remat,
                      pallas_k2=pallas_k2, pallas_gn=pallas_gn,
-                     pallas_infer=pallas_infer)
+                     pallas_infer=pallas_infer, bd=bd)
     state = create_train_state(jax.random.PRNGKey(0), cfg)
     model = UNet3DFEAM(num_classes=14, weight_std=True, deep_up=True,
-                       remat=remat)
+                       remat=remat, bd=bd)
     refiner = RefinerUNet3D(num_classes=2, weight_std=True, init_filter=24,
                             in_channel=2)
     disc = NormStyleDiscriminator()
@@ -102,11 +103,16 @@ def main():
              "gn": (False, True, False), "k2gn": (True, True, False),
              # inference-only fused kernels on the step's gradient-free
              # refiner complement pass only (StepConfig.pallas_infer)
-             "infer": (False, False, True)}
+             "infer": (False, False, True),
+             # round-5 mixed-axis block domain (StepConfig.bd; XLA lowerings)
+             "bd": (False, False, False),
+             # bd + fused inference kernels on the no-grad refiner pass
+             "bd_infer": (False, False, True)}
     for name in args.configs.split(","):
         k2, gn, infer = flags[name]
         run_config(name, k2, gn, patch, args.steps, batch=args.batch,
-                   remat=args.remat, pallas_infer=infer)
+                   remat=args.remat, pallas_infer=infer,
+                   bd=name.startswith("bd"))
 
 
 if __name__ == "__main__":
