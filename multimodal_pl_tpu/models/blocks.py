@@ -75,10 +75,24 @@ class GroupNorm(nn.Module):
     relu: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fold: bool = False, canvas=None):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones_init(), (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros_init(), (c,), jnp.float32)
+        if fold:
+            # (arow, brow) statistics fold for the fused GN->ReLU->conv path
+            # (ops/pallas/bdx.py); voxel tensors are the all-unblocked case
+            # of the bd folds. canvas=(true_dims, wb) when x is a canvas.
+            from multimodal_pl_tpu.ops import bd as _bdm
+
+            nob = (False, False, False)
+            if canvas is not None:
+                true_dims, wb = canvas
+                return _bdm.bd_gn_fold_canvas(x, scale, bias, self.num_groups,
+                                              true_dims, wb, self.eps,
+                                              blocked=nob, packing="a")
+            return _bdm.bd_gn_fold(x, scale, bias, self.num_groups, self.eps,
+                                   blocked=nob, packing="a")
         from multimodal_pl_tpu.ops.norm import group_norm, group_norm_relu
 
         if self.relu:
@@ -133,6 +147,38 @@ class NoBottleneck(nn.Module):
         inplanes = x.shape[-1]
         stride = self.stride if not isinstance(self.stride, int) else (self.stride,) * 3
         needs_proj = any(s != 1 for s in stride) or inplanes != self.features
+
+        from multimodal_pl_tpu.ops import bd as _bdm
+
+        if (_bdm.bd_fused_enabled() and all(s == 1 for s in stride)
+                and inplanes % 128 == 0 and self.features % 128 == 0
+                and int(x.shape[1]) >= 3 and int(x.shape[2]) >= 3):
+            # fused masked-GN->ReLU->tap-exact-conv chain for the voxel
+            # C>=128 stages (ops/pallas/bdx.py, all-voxel axis modes) —
+            # inference-only gate, identical math + param tree
+            nob = (False, False, False)
+            dims = tuple(int(v) for v in x.shape[1:4])
+            wb = _bdm.chain_wb(dims[2])
+            fold1 = GroupNorm(self.group, name="gn1")(x, fold=True)
+            c0 = _bdm.to_canvas(x, wb)
+            c1 = WSConv3dBD(self.features, stride=1,
+                            weight_std=self.weight_std, blocked=nob,
+                            packing="a", name="conv1")(
+                c0, gn_fold=fold1, canvas=(dims, wb))
+            fold2 = GroupNorm(self.group, name="gn2")(c1, fold=True,
+                                                      canvas=(dims, wb))
+            c2 = WSConv3dBD(self.features, stride=1,
+                            weight_std=self.weight_std, blocked=nob,
+                            packing="a", name="conv2")(
+                c1, gn_fold=fold2, canvas=(dims, wb),
+                res=None if needs_proj else c0)
+            out = _bdm.from_canvas(c2, dims[1], dims[2], wb)
+            if needs_proj:
+                return out + GNReLUConv(
+                    self.features, num_groups=self.group, kernel=(1, 1, 1),
+                    stride=1, padding=0, weight_std=self.weight_std,
+                    use_bias=False, name="downsample")(x)
+            return out  # residual added in-kernel (res=c0)
 
         out = GroupNorm(self.group, relu=True, name="gn1")(x)
         out = WSConv3d(
@@ -416,7 +462,7 @@ class WSConv3dBD(nn.Module):
     packing: str = "a"
 
     @nn.compact
-    def __call__(self, xb, gn_fold=None, canvas=None):
+    def __call__(self, xb, gn_fold=None, canvas=None, res=None):
         import numpy as _np
 
         kd, kh, kw = self.kernel
@@ -442,7 +488,7 @@ class WSConv3dBD(nn.Module):
             true_dims, wb = canvas
             out = _bd.bd_gn_relu_conv3x3(xb, gn_fold[0], gn_fold[1], w,
                                          self.blocked, self.packing,
-                                         true_dims=true_dims, wb=wb)
+                                         true_dims=true_dims, wb=wb, res=res)
             assert out is not None, "bdx contract violated (check eligibility)"
             return out
         return _bd.bd_conv3x3(xb, w, self.blocked, packing=self.packing,
@@ -556,15 +602,15 @@ class NoBottleneckBD(nn.Module):
             c2 = WSConv3dBD(self.features, stride=1,
                             weight_std=self.weight_std, blocked=self.blocked,
                             packing="a", name="conv2")(
-                c1, gn_fold=fold2, canvas=(dims_a, wb))
+                c1, gn_fold=fold2, canvas=(dims_a, wb),
+                res=None if needs_proj else c0)
             out = _bd.from_canvas(c2, dims_s[1], dims_s[2], wb)
-            residual = xb
             if needs_proj:
-                residual = GNReLUConvBD(
+                return out + GNReLUConvBD(
                     self.features, num_groups=self.group, stride=1,
                     weight_std=self.weight_std, use_bias=False,
                     blocked=self.blocked, packing="s", name="downsample")(xb)
-            return out + residual
+            return out  # residual added in-kernel (res=c0)
 
         out = GroupNormBD(self.group, blocked=self.blocked, packing="s",
                           relu=True, name="gn1")(xb)

@@ -183,7 +183,12 @@ def bd_conv3x3(xb: jax.Array, w: jax.Array, blocked, packing: str,
                 for b in blocked]
         if use_pallas is None:
             use_pallas = bd_pallas_enabled()
-        if use_pallas:
+        if xb.shape[-1] < 32:
+            # tiny-K convs (the 4-lane stem): XLA's conv lowering runs ~16x
+            # off bandwidth here (measured 6.4 ms for ~0.3 GB of traffic);
+            # an explicit im2col concat + one matmul is bandwidth-bound
+            out = _conv_im2col(xb, wp, pads)
+        elif use_pallas:
             out = bk3_impl(xb, wp, pads)
         else:
             out = lax.conv_general_dilated(xb, wp, (1, 1, 1), pads,
@@ -192,6 +197,22 @@ def bd_conv3x3(xb: jax.Array, w: jax.Array, blocked, packing: str,
         reps = (fd * fh * fw) if stride == 1 else 1
         out = out + (jnp.tile(bias, reps) if reps > 1 else bias)
     return out
+
+
+def _conv_im2col(xb: jax.Array, wp: jax.Array, pads) -> jax.Array:
+    """Small-K conv as one matmul vs the taps concatenated along K."""
+    td, tkh, tkw, k, n = wp.shape
+    x = jnp.pad(xb, [(0, 0)] + [tuple(p) for p in pads] + [(0, 0)])
+    b, d, h, w_, _ = x.shape
+    od, oh, ow = d - td + 1, h - tkh + 1, w_ - tkw + 1
+    views = [
+        lax.slice(x, (0, a, b2, c2, 0), (b, od + a, oh + b2, ow + c2, k))
+        for a in range(td) for b2 in range(tkh) for c2 in range(tkw)
+    ]
+    xx = jnp.concatenate(views, axis=-1)
+    return jnp.einsum("bdhwk,ko->bdhwo", xx,
+                      wp.transpose(0, 1, 2, 3, 4).reshape(td * tkh * tkw * k, n),
+                      preferred_element_type=xb.dtype)
 
 
 def bd_conv1x1(xb: jax.Array, w: jax.Array, blocked, packing: str = "a",
@@ -501,14 +522,17 @@ def bd_gn_fold_canvas(c_t: jax.Array, scale: jax.Array, bias: jax.Array,
 
 
 def bd_gn_relu_conv3x3(x_or_canvas, arow, brow, w, blocked, packing,
-                       true_dims, wb: int, th: int = 16):
+                       true_dims, wb: int, th: int = 16, res=None):
     """relu(masked group_norm) -> stride-1 k3 conv, fused in the bdx band
-    kernel; x_or_canvas must already be a canvas (see to_canvas). Returns
-    the OUTPUT canvas, or None off-contract."""
+    kernel; x_or_canvas must already be a canvas (see to_canvas). Optional
+    ``res``: a same-convention canvas added to the output INSIDE the kernel
+    (the residual shortcut). Returns the OUTPUT canvas, or None
+    off-contract."""
     from multimodal_pl_tpu.ops.pallas.bdx import bdx_gn_conv
 
     wp = assemble_kernel(w, blocked, stride=1).astype(x_or_canvas.dtype)
     _, fh, fw = factors(blocked)
     modes = tuple("v" if not bl else packing for bl in blocked)
     return bdx_gn_conv(x_or_canvas, wp, arow, brow, modes=modes,
-                       true_dims=true_dims, factors=(fh, fw), th=th, wb=wb)
+                       true_dims=true_dims, factors=(fh, fw), th=th, wb=wb,
+                       res=res)

@@ -50,9 +50,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_hbm, w_ref, a_ref, b_ref, out_ref, xs, acc, sems, *,
-            taps, modes, true_dims, factors, ch: int, th: int, wb: int,
-            scratch_rows: int):
+def _kernel(x_hbm, w_ref, a_ref, b_ref, *rest, taps, modes, true_dims,
+            factors, ch: int, th: int, wb: int, scratch_rows: int,
+            has_res: bool):
+    if has_res:
+        res_ref, out_ref, xs, acc, sems = rest
+    else:
+        out_ref, xs, acc, sems = rest
+        res_ref = None
     td, tkh, tkw = taps
     md, mh, mw_ = modes
     nd, nh, nw = true_dims
@@ -162,7 +167,13 @@ def _kernel(x_hbm, w_ref, a_ref, b_ref, out_ref, xs, acc, sems, *,
         s = s + acc[kw + o_w:th * wb + kw + o_w, kw * n:(kw + 1) * n]
     v = s.reshape(th, wb, n)
     v = jnp.concatenate([v[:, :1, :], v[:, :wb - 1, :]], axis=1)  # col u -> u+1
-    out_ref[0, 0] = v.reshape(th * wb, n).astype(out_ref.dtype)
+    v = v.reshape(th * wb, n)
+    if res_ref is not None:
+        # fused residual: res is a same-convention canvas of the block input,
+        # pipelined in per-tile by the BlockSpec — saves the separate XLA
+        # residual add's 3 full-HBM passes
+        v = v + res_ref[0, 0].astype(jnp.float32)
+    out_ref[0, 0] = v.astype(out_ref.dtype)
 
 
 def out_extent(n_stored: int, mode: str) -> int:
@@ -177,7 +188,7 @@ def out_extent(n_stored: int, mode: str) -> int:
 
 @functools.partial(jax.jit, static_argnames=("taps", "modes", "true_dims",
                                              "factors", "th", "wb"))
-def _bdx_call(x, w_cat, arow, brow, taps, modes, true_dims, factors,
+def _bdx_call(x, w_cat, arow, brow, res, taps, modes, true_dims, factors,
               th: int, wb: int):
     td, tkh, tkw = taps
     bsz, d_stored, flat, k = x.shape
@@ -196,20 +207,28 @@ def _bdx_call(x, w_cat, arow, brow, taps, modes, true_dims, factors,
     # fault INTERNAL crash on the chain's second conv at layer0 geometry).
     out_tiles = nh_g + 2
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, td * k), lambda b, d, h: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, td * k), lambda b, d, h: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x, w_cat, arow, brow]
+    if res is not None:
+        in_specs.append(pl.BlockSpec((1, 1, th * wb, n),
+                                     lambda b, d, h: (b, d, h, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(res)
+
     out = pl.pallas_call(
         functools.partial(_kernel, taps=taps, modes=modes,
                           true_dims=true_dims, factors=factors,
                           ch=k // (factors[0] * factors[1]), th=th, wb=wb,
-                          scratch_rows=scratch_rows),
+                          scratch_rows=scratch_rows, has_res=res is not None),
         grid=(bsz, d_out, nh_g),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, td * k), lambda b, d, h: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, td * k), lambda b, d, h: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, th * wb, n),
                                lambda b, d, h: (b, d, h, 0),
                                memory_space=pltpu.VMEM),
@@ -221,12 +240,12 @@ def _bdx_call(x, w_cat, arow, brow, taps, modes, true_dims, factors,
             pltpu.SemaphoreType.DMA((2, td, 2)),
         ],
         interpret=jax.default_backend() != "tpu",
-    )(x, w_cat, arow, brow)
+    )(*args)
     return out
 
 
 def bdx_gn_conv(x, w_cat, arow, brow, *, modes, true_dims, factors,
-                th: int = 16, wb: int):
+                th: int = 16, wb: int, res=None):
     """relu(masked_group_norm(x)) -> blocked k3 conv, fully fused, on canvas
     tensors (see module docstring for the contract).
 
@@ -246,6 +265,6 @@ def bdx_gn_conv(x, w_cat, arow, brow, *, modes, true_dims, factors,
     wc = jnp.transpose(w_cat, (1, 0, 3, 2, 4)).reshape(tkh, td * k, tkw * n)
     ar = jnp.tile(arow.astype(jnp.float32), (1, td))[:, None, :]
     br = jnp.tile(brow.astype(jnp.float32), (1, td))[:, None, :]
-    return _bdx_call(x, wc, ar, br, (td, tkh, tkw), tuple(modes),
+    return _bdx_call(x, wc, ar, br, res, (td, tkh, tkw), tuple(modes),
                      tuple(int(v) for v in true_dims), tuple(factors),
                      th, wb)

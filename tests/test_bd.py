@@ -305,3 +305,24 @@ def test_bd_model_grad(rng):
     scale = float(jnp.max(jnp.abs(lv))) + 1e-9
     err = float(jnp.max(jnp.abs(lv - lb))) / scale
     assert err < 3e-2, f"grad normalized maxdiff {err:.2e}"
+
+
+def test_voxel_nobottleneck_fused_parity(rng):
+    """Voxel NoBottleneck's fused bdx branch (C>=128 stages, all-voxel axis
+    modes) == its unfused branch, same params."""
+    import jax
+
+    from multimodal_pl_tpu.models.blocks import NoBottleneck
+    from multimodal_pl_tpu.ops import bd as bd_mod
+
+    x = jnp.asarray(rng.standard_normal((1, 4, 6, 8, 128)), jnp.float32)
+    blk = NoBottleneck(128, stride=1)
+    params = blk.init(jax.random.PRNGKey(0), x)
+    ref = blk.apply(params, x)
+    bd_mod.set_bd_fused(True)
+    try:
+        got = blk.apply(params, x)
+    finally:
+        bd_mod.set_bd_fused(False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
