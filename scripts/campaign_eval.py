@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--snapshot_dir", default="")
     ap.add_argument("--ckpt", type=int, default=0, help="step; 0 = latest")
     ap.add_argument("--input_size", default="64,96,96")
+    ap.add_argument("--bd", action="store_true",
+                    help="round-5 mixed-axis conv engine + fused kernels")
     args = ap.parse_args()
     snap = args.snapshot_dir or os.path.join(args.root, "snapshots")
 
@@ -51,11 +53,19 @@ def main():
     state = restore_checkpoint(path, state)
     print(f"checkpoint: {path}")
 
-    model = UNet3DFEAM(num_classes=14, weight_std=True, deep_up=True)
+    use_bd = args.bd and jax.default_backend() == "tpu"
+    if use_bd:
+        from multimodal_pl_tpu.ops.bd import set_bd_fused, set_bd_pallas
+
+        set_bd_pallas(True)
+        set_bd_fused(True)
+    model = UNet3DFEAM(num_classes=14, weight_std=True, deep_up=True,
+                       bd=use_bd)
     tile = tuple(map(int, args.input_size.split(",")))
     predictor = SlidingWindowPredictor(
         lambda tiles, params, tokens: model.apply(params, tiles, tokens)[0],
-        tile, 14)
+        tile, 14,
+        compute_dtype=jnp.bfloat16 if use_bd else jnp.float32)
 
     atlas = np.load(os.path.join(args.root, "atlas_mm.npy"))
     csvp = os.path.join(args.root, "supervise_mask.csv")
